@@ -1,0 +1,121 @@
+"""Device NTT / iNTT over Fr (JAX, TPU-first; SURVEY.md §7 step 2).
+
+Data layout: (N, L) uint32 limb arrays in Montgomery form.  Iterative
+DIT radix-2: one bit-reversal gather, then log2(N) butterfly stages of
+one batched Montgomery multiply + mod add/sub each.  All shapes static
+under jit; stage twiddles are precomputed host-side per domain size and
+closed over as constants.
+
+The multi-chip four-step decomposition (all_to_all over the mesh) lives
+in dist/ntt_sharded.py and reuses these kernels for the local tiles.
+"""
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..params import R_MOD, FR_MONT_R
+from ..fields import limbs
+from ..fields import device as dev
+from .domain import Domain
+
+
+@functools.lru_cache(maxsize=None)
+def _plan(log_n: int, inverse: bool):
+    """Host-side precomputation: bit-reversal permutation + per-stage
+    twiddles (Montgomery form), packed as numpy constants."""
+    n = 1 << log_n
+    dom = Domain(n)
+    omega = dom.omega_inv if inverse else dom.omega
+
+    perm = np.zeros(n, dtype=np.int32)
+    for i in range(n):
+        perm[i] = int(bin(i)[2:].zfill(log_n)[::-1], 2)
+
+    stage_tw = []
+    m = 1
+    while m < n:
+        w_m = pow(omega, n // (2 * m), R_MOD)
+        tws, w = [], 1
+        for _ in range(m):
+            tws.append(w * FR_MONT_R % R_MOD)  # Montgomery form
+            w = w * w_m % R_MOD
+        stage_tw.append(limbs.ints_to_limbs(tws, 16))
+        m *= 2
+    n_inv_mont = np.asarray(
+        limbs.ints_to_limbs([dom.n_inv * FR_MONT_R % R_MOD], 16)[0])
+    return perm, stage_tw, n_inv_mont
+
+
+def _ntt_kernel(x, perm, stage_tw):
+    """x: (n, 16) Montgomery limbs -> NTT in natural order."""
+    n = x.shape[0]
+    x = x[perm]
+    for tw in stage_tw:
+        m = tw.shape[0]
+        blocks = n // (2 * m)
+        xr = x.reshape(blocks, 2, m, 16)
+        even = xr[:, 0]
+        odd = dev.mont_mul(xr[:, 1], jnp.broadcast_to(tw, (blocks, m, 16)),
+                           dev.FR)
+        x = jnp.concatenate(
+            [dev.add_mod(even, odd, dev.FR)[:, None],
+             dev.sub_mod(even, odd, dev.FR)[:, None]], axis=1
+        ).reshape(n, 16)
+    return x
+
+
+def ntt(x, log_n: int):
+    """Forward NTT: coefficients -> evaluations (both natural order,
+    Montgomery limbs)."""
+    perm, stage_tw, _ = _plan(log_n, False)
+    return _ntt_kernel(x, jnp.asarray(perm), [jnp.asarray(t) for t in stage_tw])
+
+
+def intt(x, log_n: int):
+    """Inverse NTT: evaluations -> coefficients (Montgomery limbs)."""
+    perm, stage_tw, n_inv = _plan(log_n, True)
+    y = _ntt_kernel(x, jnp.asarray(perm), [jnp.asarray(t) for t in stage_tw])
+    scale = jnp.broadcast_to(jnp.asarray(n_inv), y.shape)
+    return dev.mont_mul(y, scale, dev.FR)
+
+
+@functools.lru_cache(maxsize=None)
+def _coset_powers(log_n: int, inverse: bool):
+    n = 1 << log_n
+    g = Domain(n).coset_gen
+    if inverse:
+        g = pow(g, -1, R_MOD)
+    out, gi = [], 1
+    for _ in range(n):
+        out.append(gi * FR_MONT_R % R_MOD)
+        gi = gi * g % R_MOD
+    return limbs.ints_to_limbs(out, 16)
+
+
+def coset_ntt(x, log_n: int):
+    """Evaluations of the coefficient vector over the coset g*H."""
+    powers = jnp.asarray(_coset_powers(log_n, False))
+    return ntt(dev.mont_mul(x, powers, dev.FR), log_n)
+
+
+def coset_intt(x, log_n: int):
+    powers = jnp.asarray(_coset_powers(log_n, True))
+    return dev.mont_mul(intt(x, log_n), powers, dev.FR)
+
+
+# --- host-facing conveniences (ints in, ints out; used by tests) -----------
+
+
+def ntt_ints(values, log_n: int, inverse=False, coset=False):
+    n = 1 << log_n
+    vals = list(values) + [0] * (n - len(values))
+    x = jnp.asarray(limbs.fr_to_limbs([v * FR_MONT_R % R_MOD for v in vals]))
+    if inverse:
+        y = coset_intt(x, log_n) if coset else intt(x, log_n)
+    else:
+        y = coset_ntt(x, log_n) if coset else ntt(x, log_n)
+    r_inv = pow(FR_MONT_R, -1, R_MOD)
+    return [v * r_inv % R_MOD for v in limbs.limbs_to_ints(np.asarray(y))]
