@@ -1,0 +1,143 @@
+"""The gate-constraint algebra — single source of truth shared by the
+quotient round (pointwise over the 4n coset), the linearization
+polynomial, the verifier's reconstruction, and the composer's debug
+checker.  Formulas are specified in docs/PROTOCOL.md.
+
+Every function here operates on plain ints mod r so it can be used both
+host-side and as the reference for the vectorized device versions.
+
+Notation: w = (a, b, c, d) wire values at the row / at zeta;
+wn = same at the next row / at zeta*omega.
+"""
+
+from ..params import R_MOD, JUBJUB_D
+
+M = R_MOD
+
+
+def delta(x: int) -> int:
+    """x(x-1)(x-2)(x-3): vanishes iff x is a 2-bit quad."""
+    return x * (x - 1) % M * ((x - 2) * (x - 3) % M) % M
+
+
+def arith_coeffs(w):
+    """Scalar coefficients of the committed arithmetic selectors:
+    A = q_m*ab + q_l*a + q_r*b + q_4*d + q_o*c + q_c."""
+    a, b, c, d = w
+    return {
+        "q_m": a * b % M, "q_l": a, "q_r": b, "q_4": d, "q_o": c, "q_c": 1,
+    }
+
+
+def arith_value(w, q):
+    co = arith_coeffs(w)
+    return sum(co[k] * q[k] for k in co) % M
+
+
+def range_scalar(w, wn, kappa: int) -> int:
+    """R = D(c-4d) + k*D(b-4c) + k^2*D(a-4b) + k^3*D(d'-4a)."""
+    a, b, c, d = w
+    dn = wn[3]
+    k2 = kappa * kappa % M
+    return (delta(c - 4 * d)
+            + kappa * delta(b - 4 * c)
+            + k2 * delta(a - 4 * b)
+            + k2 * kappa % M * delta(dn - 4 * a)) % M
+
+
+def logic_scalar(w, wn, q_c: int, kappa: int) -> int:
+    """L over 1-bit chunks; q_c=1 -> XOR, q_c=0 -> AND.
+    ca = a'-2a, cb = b'-2b, cd = d'-2d, bit product wire = c'.
+    (1-bit chunks because x+y-2xy == XOR only holds bitwise.)"""
+    a, b, _c, d = w
+    an, bn, cn, dn = wn
+    ca, cb, cd, wprod = an - 2 * a, bn - 2 * b, dn - 2 * d, cn
+    l1 = ca * (ca - 1) % M
+    l2 = cb * (cb - 1) % M
+    l3 = cd * (cd - 1) % M
+    l4 = (wprod - ca * cb) % M
+    l5 = (cd - q_c * (ca + cb - 2 * wprod) - (1 - q_c) * wprod) % M
+    k = kappa
+    out = l1
+    for term in (l2, l3, l4, l5):
+        out = (out + k * term) % M
+        k = k * kappa % M
+    return out
+
+
+def fixed_scalar(w, wn, q_l: int, q_r: int, q_c: int, kappa: int) -> int:
+    """Fixed-base ECC ladder row: digit k = d'-2d in {-1,0,1}; window
+    base (x_B, y_B) = (q_l, q_r), xy_B = q_c; Edwards conditional add
+    acc' = acc + k*B."""
+    a, b, _c, d = w
+    an, bn, _cn, dn = wn
+    k = (dn - 2 * d) % M
+    x_t = k * q_l % M
+    y_t = (k * k % M * ((q_r - 1) % M) + 1) % M
+    f1 = k * ((k - 1) % M) % M * ((k + 1) % M) % M
+    abk = a * b % M * k % M
+    f2 = (an + JUBJUB_D * q_c % M * an % M * abk - a * y_t - b * x_t) % M
+    f3 = (bn - JUBJUB_D * q_c % M * bn % M * abk - b * y_t - a * x_t) % M
+    return (f1 + kappa * f2 + kappa * kappa % M * f3) % M
+
+
+def vgadd_scalar(w, wn, kappa: int) -> int:
+    """Variable-base Edwards addition: inputs (x1,y1,x2,y2) = (a,b,c,d),
+    outputs (x3,y3) = (a',b'), aux d' = x1*y1."""
+    x1, y1, x2, y2 = w
+    x3, y3, _cn, aux = wn
+    v1 = (aux - x1 * y1) % M
+    dp = JUBJUB_D * aux % M * x2 % M * y2 % M
+    v2 = (x3 + x3 * dp - x1 * y2 - y1 * x2) % M
+    v3 = (y3 - y3 * dp - y1 * y2 - x1 * x2) % M
+    return (v1 + kappa * v2 + kappa * kappa % M * v3) % M
+
+
+def gate_value(w, wn, q, pi: int, ch) -> int:
+    """Full gate constraint at one row/point.  `q` maps selector name ->
+    value at this row/point; `ch` holds the widget separation challenges
+    (ch['range'], ch['logic'], ch['fixed'], ch['vgadd'])."""
+    g = q["q_arith"] * arith_value(w, q) + pi
+    g += ch["range"] * q["q_range"] % M * range_scalar(w, wn, ch["range"])
+    g += ch["logic"] * q["q_logic"] % M * \
+        logic_scalar(w, wn, q["q_c"], ch["logic"])
+    g += ch["fixed"] * q["q_fixed"] % M * \
+        fixed_scalar(w, wn, q["q_l"], q["q_r"], q["q_c"], ch["fixed"])
+    g += ch["vgadd"] * q["q_vgadd"] % M * vgadd_scalar(w, wn, ch["vgadd"])
+    return g % M
+
+
+def check_gates_host(composer) -> bool:
+    """Debug: evaluate every gate constraint on the raw (unpadded+1)
+    table with unit separation challenges; returns True iff all zero.
+    Uses challenges=1 which cannot mask nonzero terms for honest
+    widget-local debugging (terms are checked individually too)."""
+    n = composer.n_gates
+    wit = composer.witness
+
+    def wires_at(i):
+        if i >= n:
+            return (0, 0, 0, 0)
+        return tuple(wit[composer.wires[col][i]] for col in "abcd")
+
+    for i in range(n):
+        w = wires_at(i)
+        wn = wires_at(i + 1)
+        q = {name: composer.q[name][i] for name in composer.q}
+        pi = composer.pi.get(i, 0)
+        # check each enabled widget separately so one widget cannot
+        # cancel another
+        if q["q_arith"] and (q["q_arith"] * arith_value(w, q) + pi) % M:
+            return False
+        if not q["q_arith"] and pi % M:
+            return False
+        if q["q_range"] and range_scalar(w, wn, 1) != 0:
+            return False
+        if q["q_logic"] and logic_scalar(w, wn, q["q_c"], 1) != 0:
+            return False
+        if q["q_fixed"] and \
+                fixed_scalar(w, wn, q["q_l"], q["q_r"], q["q_c"], 1) != 0:
+            return False
+        if q["q_vgadd"] and vgadd_scalar(w, wn, 1) != 0:
+            return False
+    return True
