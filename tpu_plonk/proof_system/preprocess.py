@@ -1,0 +1,84 @@
+"""Preprocessing: composer tables -> ProverKey / VerifierKey
+(SURVEY.md §2.8 "Preprocessing").
+
+- pad gates to n = 2^k
+- iNTT the 11 selector columns -> selector polynomials, plus their
+  evaluations over the 4n extended coset (cached for the quotient round)
+- sigma polynomials from the permutation cycles
+- VerifierKey = KZG commitments to selectors + sigmas
+"""
+
+import dataclasses
+
+from ..params import R_MOD
+from ..fields import fr
+from ..poly.domain import Domain
+from ..cs.permutation import build_sigma_evals
+from ..cs.composer import SELECTOR_NAMES
+from ..pcs import kzg
+
+
+@dataclasses.dataclass
+class ProverKey:
+    n: int
+    domain: Domain
+    ext_domain: Domain
+    selector_coeffs: dict    # name -> coeff list
+    selector_ext: dict       # name -> evals over 4n coset
+    sigma_coeffs: list       # 4 coeff lists
+    sigma_ext: list          # 4 eval lists over 4n coset
+    wire_vars: dict          # padded wire index table (a/b/c/d -> [var])
+    l1_ext: list             # L1(X) over 4n coset
+    zh_inv_ext: list         # 1/Z_H(X) over 4n coset (period 4)
+    coset_points: list       # the 4n coset points g*w4n^i
+
+
+@dataclasses.dataclass
+class VerifierKey:
+    n: int
+    selector_commits: dict   # name -> G1
+    sigma_commits: list      # 4 G1 points
+
+
+def preprocess(composer, srs):
+    n = composer.padded_size()
+    dom = Domain(n)
+    ext = Domain(4 * n)
+    g = dom.coset_gen
+
+    # --- padded tables ---
+    pad = n - composer.n_gates
+    selector_vals = {name: composer.q[name] + [0] * pad
+                     for name in SELECTOR_NAMES}
+    wire_vars = {w: composer.wires[w] + [0] * pad for w in "abcd"}
+
+    sel_coeffs, sel_ext, sel_commits = {}, {}, {}
+    for name in SELECTOR_NAMES:
+        coeffs = dom.intt(selector_vals[name])
+        sel_coeffs[name] = coeffs
+        sel_ext[name] = ext.coset_ntt(coeffs)
+        sel_commits[name] = kzg.commit(coeffs, srs)
+
+    sigma_evals, _ = build_sigma_evals(composer, n)
+    sigma_coeffs = [dom.intt(se) for se in sigma_evals]
+    sigma_ext = [ext.coset_ntt(sc) for sc in sigma_coeffs]
+    sigma_commits = [kzg.commit(sc, srs) for sc in sigma_coeffs]
+
+    # --- cached extended-domain helpers ---
+    coset_points = [g * w % R_MOD for w in ext.elements()]
+    # Z_H(g w4n^i) = g^n w4n^{in} - 1 has period 4 in i
+    gn = pow(g, n, R_MOD)
+    w4 = pow(ext.omega, n, R_MOD)  # 4th root of unity
+    zh_vals = [(gn * pow(w4, j, R_MOD) - 1) % R_MOD for j in range(4)]
+    zh_inv4 = fr.batch_inv(zh_vals)
+    zh_inv_ext = [zh_inv4[i % 4] for i in range(4 * n)]
+    # L1(X) = (X^n - 1) / (n (X - 1)) on the coset
+    denoms = fr.batch_inv([(x - 1) % R_MOD for x in coset_points])
+    zh_ext = [zh_vals[i % 4] for i in range(4 * n)]
+    l1_ext = [zh_ext[i] * dom.n_inv % R_MOD * denoms[i] % R_MOD
+              for i in range(4 * n)]
+
+    pk = ProverKey(n, dom, ext, sel_coeffs, sel_ext, sigma_coeffs,
+                   sigma_ext, wire_vars, l1_ext, zh_inv_ext, coset_points)
+    vk = VerifierKey(n, sel_commits, sigma_commits)
+    return pk, vk

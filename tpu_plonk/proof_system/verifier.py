@@ -1,0 +1,103 @@
+"""PLONK verifier (host CPU, O(1) in circuit size; SURVEY.md §3.3):
+transcript replay -> challenges; linearization commitment
+reconstruction (~20-point MSM); batched KZG check with 2 pairings.
+"""
+
+from ..params import R_MOD
+from ..curves import g1
+from ..poly.domain import Domain
+from ..transcript import Transcript
+from ..transcript import labels as L
+from ..pcs import kzg, msm as hostmsm
+from .proof import Proof
+from .prover import (
+    linearization_coefficients, eval_pi, compute_t_eval, append_evals,
+)
+
+
+def verify(proof: Proof, vk, public_inputs: dict, srs,
+           label: bytes = L.PROTOCOL) -> bool:
+    n = vk.n
+    dom = Domain(n)
+    comm = proof.commitments
+    ev = proof.evals
+
+    # --- transcript replay ---
+    t = Transcript(label)
+    t.circuit_domain_sep(n)
+    for lbl, name in ((L.W_L, "w_l"), (L.W_R, "w_r"),
+                      (L.W_O, "w_o"), (L.W_4, "w_4")):
+        t.append_commitment(lbl, comm[name])
+    beta = t.challenge_scalar(L.BETA)
+    t.append_scalar(L.BETA, beta)
+    gamma = t.challenge_scalar(L.GAMMA)
+    t.append_commitment(L.Z, comm["z"])
+    alpha = t.challenge_scalar(L.ALPHA)
+    ch = {
+        "range": t.challenge_scalar(L.RANGE_SEP),
+        "logic": t.challenge_scalar(L.LOGIC_SEP),
+        "fixed": t.challenge_scalar(L.FIXED_SEP),
+        "vgadd": t.challenge_scalar(L.VGADD_SEP),
+    }
+    for k, lbl in enumerate((L.T_1, L.T_2, L.T_3, L.T_4)):
+        t.append_commitment(lbl, comm[f"t_{k + 1}"])
+    zeta = t.challenge_scalar(L.ZETA)
+
+    pi_at_zeta = eval_pi(dict(public_inputs), dom, zeta)
+    t_eval = compute_t_eval(ev, pi_at_zeta, zeta, beta, gamma, alpha, dom)
+    append_evals(t, ev, t_eval)
+    v = t.challenge_scalar(L.AGGREGATE_WITNESS)
+    t.append_commitment(L.W_Z, comm["w_z"])
+    t.append_commitment(L.W_Z_W, comm["w_zw"])
+    u = t.challenge_scalar(L.BATCH)
+
+    # --- reconstruct the linearization commitment ---
+    co = linearization_coefficients(ev, zeta, beta, gamma, alpha, ch, dom)
+    parts = []
+    for name in ("q_m", "q_l", "q_r", "q_o", "q_4", "q_c",
+                 "q_range", "q_logic", "q_fixed", "q_vgadd"):
+        parts.append((vk.selector_commits[name], co[name]))
+    parts.append((comm["z"], co["z"]))
+    parts.append((vk.sigma_commits[3], co["sigma4"]))
+    r_comm = _msm_pairs(parts)
+
+    # flattened quotient commitment
+    zn = pow(zeta, n, R_MOD)
+    t_comm = _msm_pairs([
+        (comm["t_1"], 1), (comm["t_2"], zn),
+        (comm["t_3"], zn * zn % R_MOD), (comm["t_4"], pow(zn, 3, R_MOD)),
+    ])
+
+    # --- fold the two aggregate openings ---
+    zeta_comms = [t_comm, r_comm, comm["w_l"], comm["w_r"], comm["w_o"],
+                  comm["w_4"], vk.sigma_commits[0], vk.sigma_commits[1],
+                  vk.sigma_commits[2], vk.selector_commits["q_arith"],
+                  vk.selector_commits["q_c"], vk.selector_commits["q_l"],
+                  vk.selector_commits["q_r"]]
+    zeta_vals = [t_eval, ev["r"], ev["a"], ev["b"], ev["c"], ev["d"],
+                 ev["sigma1"], ev["sigma2"], ev["sigma3"],
+                 ev["q_arith"], ev["q_c"], ev["q_l"], ev["q_r"]]
+    zw_comms = [comm["z"], comm["w_l"], comm["w_r"], comm["w_o"],
+                comm["w_4"]]
+    zw_vals = [ev["z_shifted"], ev["a_next"], ev["b_next"], ev["c_next"],
+               ev["d_next"]]
+
+    agg_c1 = kzg.aggregate_commitments(zeta_comms, v)
+    agg_v1 = kzg.aggregate_values(zeta_vals, v)
+    agg_c2 = kzg.aggregate_commitments(zw_comms, v)
+    agg_v2 = kzg.aggregate_values(zw_vals, v)
+
+    zw = zeta * dom.omega % R_MOD
+    return kzg.batch_check(
+        [zeta, zw], [comm["w_z"], comm["w_zw"]],
+        [agg_c1, agg_c2], [agg_v1, agg_v2], u, srs)
+
+
+def _msm_pairs(pairs):
+    acc = hostmsm.J_INF
+    for point, scalar in pairs:
+        if point is None or scalar % R_MOD == 0:
+            continue
+        acc = hostmsm.jac_add(
+            acc, hostmsm.jac_from_affine(g1.mul(point, scalar)))
+    return hostmsm.jac_to_affine(acc)
