@@ -291,10 +291,13 @@ class Composer:
                 sacc_vars.append(self.add_input(sacc))
         for r in range(256):
             bx, by = bases[r]
+            # xy_alpha wire: k * x_B * y_B (keeps the Edwards term at
+            # wire-degree 4 with one selector — see constraints.fixed_scalar)
+            xy_alpha = self.add_input(digits[r] * bx % R_MOD * by % R_MOD)
             self._gate({"q_fixed": 1, "q_l": bx, "q_r": by,
                         "q_c": bx * by % R_MOD},
                        a=acc_x_vars[r], b=acc_y_vars[r],
-                       c=self.zero_var, d=sacc_vars[r])
+                       c=xy_alpha, d=sacc_vars[r])
         # carrier row with the final accumulator
         self._gate({}, a=acc_x_vars[256], b=acc_y_vars[256],
                    c=self.zero_var, d=sacc_vars[256])

@@ -67,18 +67,22 @@ def logic_scalar(w, wn, q_c: int, kappa: int) -> int:
 
 def fixed_scalar(w, wn, q_l: int, q_r: int, q_c: int, kappa: int) -> int:
     """Fixed-base ECC ladder row: digit k = d'-2d in {-1,0,1}; window
-    base (x_B, y_B) = (q_l, q_r), xy_B = q_c; Edwards conditional add
-    acc' = acc + k*B."""
-    a, b, _c, d = w
+    base (x_B, y_B) = (q_l, q_r), xy_B = q_c; wire c holds
+    xy_alpha = k*x_B*y_B (= x_t*y_t given k^3=k), which keeps the
+    Edwards term at wire-degree 4 with a single selector (quotient
+    degree budget 4n); Edwards conditional add acc' = acc + k*B."""
+    a, b, c, d = w
     an, bn, _cn, dn = wn
     k = (dn - 2 * d) % M
     x_t = k * q_l % M
     y_t = (k * k % M * ((q_r - 1) % M) + 1) % M
     f1 = k * ((k - 1) % M) % M * ((k + 1) % M) % M
-    abk = a * b % M * k % M
-    f2 = (an + JUBJUB_D * q_c % M * an % M * abk - a * y_t - b * x_t) % M
-    f3 = (bn - JUBJUB_D * q_c % M * bn % M * abk - b * y_t - a * x_t) % M
-    return (f1 + kappa * f2 + kappa * kappa % M * f3) % M
+    f2 = (c - k * q_c) % M                      # xy_alpha consistency
+    dabc = JUBJUB_D * a % M * b % M * c % M
+    f3 = (an + an * dabc - a * y_t - b * x_t) % M
+    f4 = (bn - bn * dabc - b * y_t - a * x_t) % M
+    k2 = kappa * kappa % M
+    return (f1 + kappa * f2 + k2 * f3 + k2 * kappa % M * f4) % M
 
 
 def vgadd_scalar(w, wn, kappa: int) -> int:
