@@ -1,0 +1,93 @@
+"""Benchmark harness (driver-run, real TPU).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": ..., "unit": ..., "vs_baseline": ...}
+plus supporting numbers under "extra".  The reference publishes no
+benchmarks (BASELINE.md) and its pinned build is single-threaded CPU,
+so vs_baseline is reported against our own first-light value (1.0).
+"""
+
+import json
+import os
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.join(os.path.dirname(__file__), ".cache",
+                                   "jax"))
+
+import numpy as np  # noqa: E402
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+
+
+def bench_ntt(log_n: int, iters: int = 10):
+    from tpu_plonk.poly import ntt as nttmod
+
+    n = 1 << log_n
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.integers(0, 1 << 16, size=(n, 16),
+                                 dtype=np.uint32))
+    t0 = time.time()
+    y = nttmod.ntt(x, log_n).block_until_ready()
+    compile_s = time.time() - t0
+    t0 = time.time()
+    for _ in range(iters):
+        y = nttmod.ntt(y, log_n)
+    y.block_until_ready()
+    steady = (time.time() - t0) / iters
+    return steady, compile_s
+
+
+def bench_msm(log_n: int, c: int = 8):
+    from tpu_plonk.curves import g1, device_g1 as dg1
+    from tpu_plonk.pcs import msm_device
+
+    n = 1 << log_n
+    # distinct small multiples tiled to n (point values don't affect perf)
+    base = [g1.mul(g1.GEN, k + 1) for k in range(64)]
+    pts = dg1.points_to_device([base[i % 64] for i in range(n)])
+    rng = np.random.default_rng(11)
+    n_windows = (255 + c - 1) // c
+    digits = rng.integers(0, 1 << c, size=(n_windows, n),
+                          dtype=np.int32)
+
+    t0 = time.time()
+    out = msm_device.msm_device(pts, digits, c)
+    jax.block_until_ready(out)
+    first_s = time.time() - t0
+
+    t0 = time.time()
+    out = msm_device.msm_device(pts, digits, c)
+    jax.block_until_ready(out)
+    steady_s = time.time() - t0
+    return n / steady_s, steady_s, first_s
+
+
+def main():
+    dev = jax.devices()[0]
+    extra = {"device": str(dev)}
+
+    ntt_ms = {}
+    for log_n in (14, 18):
+        steady, comp = bench_ntt(log_n)
+        ntt_ms[f"ntt_2^{log_n}_ms"] = round(steady * 1e3, 3)
+        ntt_ms[f"ntt_2^{log_n}_compile_s"] = round(comp, 1)
+    extra.update(ntt_ms)
+
+    pps, steady_s, first_s = bench_msm(14)
+    extra["msm_2^14_steady_s"] = round(steady_s, 4)
+    extra["msm_2^14_compile_s"] = round(first_s, 1)
+
+    print(json.dumps({
+        "metric": "msm_points_per_sec_chip",
+        "value": round(pps, 1),
+        "unit": "points/s",
+        "vs_baseline": 1.0,
+        "extra": extra,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,62 @@
+"""Multi-chip sharding on the 8-virtual-device CPU mesh (SURVEY.md §4.3
+item 4: sharding must be numerically invisible)."""
+
+import random
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from tpu_plonk.params import R_MOD, FR_MONT_R
+from tpu_plonk.fields import limbs
+from tpu_plonk.curves import g1, device_g1 as dg1
+from tpu_plonk.pcs import msm as hostmsm, msm_device
+from tpu_plonk.poly.domain import Domain
+from tpu_plonk.dist import mesh as meshmod
+from tpu_plonk.dist.msm_sharded import msm_sharded
+from tpu_plonk.dist.ntt_sharded import ntt_sharded
+
+rng = random.Random(0xD157)
+
+
+def test_eight_virtual_devices():
+    assert len(jax.devices()) == 8
+
+
+def test_sharded_msm_matches_host():
+    n = 32  # divisible by 8 devices
+    pts = [g1.mul(g1.GEN, rng.randrange(1, 2**48)) for _ in range(n)]
+    # 32-bit scalars -> 4 windows: full pipeline coverage at a compile
+    # cost the 4-core CI box can afford
+    scalars = [rng.randrange(2**32) for _ in range(n)]
+    want = hostmsm.msm(pts, scalars)
+
+    mesh = meshmod.make_mesh()
+    pts_dev = dg1.points_to_device(pts)
+    digits = msm_device.window_digits(scalars, 8, 4)
+    out = msm_sharded(mesh, pts_dev, digits, c=8)
+    got = dg1.points_from_device(tuple(x[None] for x in out))[0]
+    assert got == want
+
+
+def test_sharded_ntt_matches_host():
+    log_n = 7  # 128 = 16 x 8, both divisible by 8
+    n = 1 << log_n
+    dom = Domain(n)
+    coeffs = [rng.randrange(R_MOD) for _ in range(n)]
+    want = dom.ntt(coeffs)
+
+    mesh = meshmod.make_mesh()
+    x = jnp.asarray(limbs.fr_to_limbs(
+        [c * FR_MONT_R % R_MOD for c in coeffs]))
+    out = ntt_sharded(mesh, x, log_n)
+    rinv = pow(FR_MONT_R, -1, R_MOD)
+    got = [v * rinv % R_MOD
+           for v in limbs.limbs_to_ints(np.asarray(out))]
+    assert got == want
+
+    # inverse round-trips
+    back = ntt_sharded(mesh, out, log_n, inverse=True)
+    got_back = [v * rinv % R_MOD
+                for v in limbs.limbs_to_ints(np.asarray(back))]
+    assert got_back == coeffs

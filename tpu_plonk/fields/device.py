@@ -118,21 +118,42 @@ def _join(cols):
 # jit they inline as usual.
 # ---------------------------------------------------------------------------
 
+def _sub_array(a, b):
+    """a - b limbwise with log-depth borrow lookahead; both inputs
+    normalized (<2^16 limbs).  Returns (limbs, borrow_out in {0,1})."""
+    L = a.shape[-1]
+    g = (a < b).astype(U32)          # borrow generated
+    p = (a == b).astype(U32)         # borrow propagates
+    gs, ps = g, p
+    d = 1
+    while d < L:
+        g_sh = jnp.concatenate(
+            [jnp.zeros_like(gs[..., :d]), gs[..., :-d]], axis=-1)
+        p_sh = jnp.concatenate(
+            [jnp.zeros_like(ps[..., :d]), ps[..., :-d]], axis=-1)
+        gs = gs | (ps & g_sh)
+        ps = ps & p_sh
+        d *= 2
+    bin_ = jnp.concatenate(
+        [jnp.zeros_like(gs[..., :1]), gs[..., :-1]], axis=-1)
+    out = (a - b - bin_) & LIMB_MASK
+    return out, gs[..., -1]
+
+
 @functools.partial(jax.jit, static_argnames=("ctx",))
 def add_mod(a, b, ctx: FieldCtx):
-    mod = _split(jnp.asarray(ctx.mod_limbs, U32))
-    s, _ = _carry_chain([x + y for x, y in zip(_split(a), _split(b))])
-    d, borrow = _sub_limbs(s, mod)
-    # if s >= mod (no borrow) use s - mod else s
-    return _join(_select(1 - borrow, d, s))
+    mod = jnp.asarray(ctx.mod_limbs, U32)
+    s = _carry_array(a + b)  # a+b < 2q < 2^(16L), carry-out 0
+    d, borrow = _sub_array(s, jnp.broadcast_to(mod, s.shape))
+    return jnp.where((borrow == 0)[..., None], d, s)
 
 
 @functools.partial(jax.jit, static_argnames=("ctx",))
 def sub_mod(a, b, ctx: FieldCtx):
-    mod = _split(jnp.asarray(ctx.mod_limbs, U32))
-    d, borrow = _sub_limbs(_split(a), _split(b))
-    dm, _ = _carry_chain([x + y for x, y in zip(d, mod)])
-    return _join(_select(borrow, dm, d))
+    mod = jnp.asarray(ctx.mod_limbs, U32)
+    d, borrow = _sub_array(a, b)
+    dm = _carry_array(d + jnp.broadcast_to(mod, d.shape))
+    return jnp.where((borrow == 1)[..., None], dm, d)
 
 
 def neg_mod(a, ctx: FieldCtx):
@@ -148,30 +169,93 @@ def is_zero(a):
 # Montgomery multiplication (Comba + separated REDC)
 # ---------------------------------------------------------------------------
 
+@functools.lru_cache(maxsize=None)
+def _antidiag_mats(L: int, n_out: int):
+    """Constant 0/1 matrices mapping flattened (i,j) limb-product pairs
+    to output columns: lo parts land on column i+j, hi parts on i+j+1.
+    Used as f32 matmul operands — the Comba column reduction becomes an
+    MXU contraction, which both shrinks the HLO trace ~20x and moves
+    the inner loop of every field multiply onto the systolic array.
+    Exactness: <=2L terms of <2^16 each -> sums < 2^21 < 2^24 (f32)."""
+    m_lo = np.zeros((L * L, n_out), dtype=np.float32)
+    m_hi = np.zeros((L * L, n_out), dtype=np.float32)
+    for i in range(L):
+        for j in range(L):
+            if i + j < n_out:
+                m_lo[i * L + j, i + j] = 1.0
+            if i + j + 1 < n_out:
+                m_hi[i * L + j, i + j + 1] = 1.0
+    return m_lo, m_hi
+
+
+def _comba_matmul(a, b, n_out=None):
+    """Column sums of the schoolbook product of (..., L) limb arrays via
+    one u32 outer product + two f32 matmuls.  Returns (..., n_out) u32
+    columns, each < 2^21 (pre-carry)."""
+    L = a.shape[-1]
+    if n_out is None:
+        n_out = 2 * L
+    m_lo, m_hi = _antidiag_mats(L, n_out)
+    prod = a[..., :, None] * b[..., None, :]          # u32, exact
+    lo = (prod & LIMB_MASK).astype(jnp.float32)
+    hi = (prod >> LIMB_BITS).astype(jnp.float32)
+    flat_shape = a.shape[:-1] + (L * L,)
+    # Single fused dot: [lo | hi] @ [[M_lo],[M_hi]].  One dot per
+    # product matters — XLA compile time scales badly with dot count.
+    # precision=HIGHEST is load-bearing on TPU: the default f32 matmul
+    # runs as bf16 MXU passes, which silently corrupts >8-bit limb
+    # values.  HIGHEST keeps full f32 (exact for our < 2^24 sums).
+    lohi = jnp.concatenate([lo.reshape(flat_shape),
+                            hi.reshape(flat_shape)], axis=-1)
+    mat = jnp.asarray(np.concatenate([m_lo, m_hi], axis=0))
+    cols = jnp.matmul(lohi, mat, preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.HIGHEST)
+    return cols.astype(jnp.uint32)
+
+
 def _comba_columns(a_cols, b_cols, n_out=None):
-    """Column sums of the schoolbook product. Each 16x16 product is
-    computed in u32 and split into lo/hi 16-bit halves so column
-    accumulators stay < 2^21.  Returns `n_out` columns (default 2L, the
-    full product); pass n_out=L for a mod-2^(16L) low product."""
+    """Column-list adapter over _comba_matmul (kept for mont_mul's
+    internal list-of-columns carry plumbing)."""
     L = len(a_cols)
     if n_out is None:
         n_out = 2 * L
-    cols = [None] * n_out
-    for k in range(min(n_out, 2 * L - 1)):
-        acc_lo = None
-        acc_hi = None
-        for i in range(max(0, k - L + 1), min(k + 1, L)):
-            p = a_cols[i] * b_cols[k - i]
-            lo = p & LIMB_MASK
-            hi = p >> LIMB_BITS
-            acc_lo = lo if acc_lo is None else acc_lo + lo
-            acc_hi = hi if acc_hi is None else acc_hi + hi
-        cols[k] = acc_lo if cols[k] is None else cols[k] + acc_lo
-        if acc_hi is not None and k + 1 < n_out:
-            nxt = cols[k + 1]
-            cols[k + 1] = acc_hi if nxt is None else nxt + acc_hi
-    z = jnp.zeros_like(a_cols[0])
-    return [z if c is None else c for c in cols]
+    cols = _comba_matmul(jnp.stack(a_cols, axis=-1),
+                         jnp.stack(b_cols, axis=-1), n_out)
+    return [cols[..., k] for k in range(n_out)]
+
+
+def _carry_array(cols):
+    """Normalize column sums (< 2^26) to 16-bit limbs along the last
+    axis, dropping the final carry.  Exact log-depth carry propagation
+    (Kogge-Stone carry-lookahead) instead of an O(L) ripple — ~7x fewer
+    HLO ops and log latency, which is what keeps full-prover/MSM traces
+    compilable.
+
+    Derivation: split cols into a (low 16) + c (high); the value is
+    A + (C << 16).  b = c shifted up one limb has b_i < 2^10, so
+    s_i = a_i + b_i generates at most one carry; generate/propagate
+    bits then combine with the standard Kogge-Stone recurrence."""
+    L = cols.shape[-1]
+    a = cols & LIMB_MASK
+    c = cols >> LIMB_BITS
+    b = jnp.concatenate(
+        [jnp.zeros_like(c[..., :1]), c[..., :-1]], axis=-1)
+    s = a + b
+    g = (s >> LIMB_BITS).astype(jnp.uint32)          # carry generated
+    p = ((s & LIMB_MASK) == LIMB_MASK).astype(jnp.uint32)  # propagates
+
+    d = 1
+    while d < L:
+        g_sh = jnp.concatenate(
+            [jnp.zeros_like(g[..., :d]), g[..., :-d]], axis=-1)
+        p_sh = jnp.concatenate(
+            [jnp.zeros_like(p[..., :d]), p[..., :-d]], axis=-1)
+        g = g | (p & g_sh)
+        p = p & p_sh
+        d *= 2
+    cin = jnp.concatenate(
+        [jnp.zeros_like(g[..., :1]), g[..., :-1]], axis=-1)
+    return (s + cin) & LIMB_MASK
 
 
 @functools.partial(jax.jit, static_argnames=("ctx",))
@@ -179,28 +263,24 @@ def mont_mul(a, b, ctx: FieldCtx):
     """Montgomery product: a*b*R^{-1} mod q, inputs/outputs canonical
     limbs (<2^16 each), values in [0, q)."""
     L = ctx.n_limbs
-    a_cols = _split(a.astype(U32))
-    b_cols = _split(b.astype(U32))
-    mod = _split(jnp.asarray(ctx.mod_limbs, U32))
-    ninv = _split(jnp.asarray(ctx.ninv_limbs, U32))
+    a = a.astype(U32)
+    b = b.astype(U32)
+    mod_arr = jnp.asarray(ctx.mod_limbs, U32)
+    ninv = jnp.broadcast_to(jnp.asarray(ctx.ninv_limbs, U32), a.shape)
 
     # T = a * b  (2L limbs; a,b < q so T < q^2 fits exactly, carry-out 0)
-    t_cols = _comba_columns(a_cols, b_cols)
-    t, _ = _carry_chain(t_cols)
+    t = _carry_array(_comba_matmul(a, b))
 
     # m = (T mod R) * (-q^{-1} mod R) mod R  (low L limbs only)
-    m_cols = _comba_columns(t[:L], ninv, n_out=L)
-    m, _ = _carry_chain(m_cols)
+    m = _carry_array(_comba_matmul(t[..., :L], ninv, n_out=L))
 
     # u = (T + m*q) / R : the low L limbs cancel; T + m*q < 2Rq < 2^(32L)
     # so the carry out of the top column is provably zero.
-    mq_cols = _comba_columns(m, mod)
-    full = [t[i] + mq_cols[i] for i in range(2 * L)]
-    u_all, _ = _carry_chain(full)
-    u = u_all[L:]
+    mq = _comba_matmul(m, jnp.broadcast_to(mod_arr, m.shape))
+    u = _carry_array(t + mq)[..., L:]
     # u < 2q: final conditional subtraction
-    d, borrow = _sub_limbs(u, mod)
-    return _join(_select(1 - borrow, d, u))
+    d, borrow = _sub_array(u, jnp.broadcast_to(mod_arr, u.shape))
+    return jnp.where((borrow == 0)[..., None], d, u)
 
 
 def mont_sqr(a, ctx: FieldCtx):

@@ -67,19 +67,43 @@ def _ntt_kernel(x, perm, stage_tw):
     return x
 
 
+@functools.lru_cache(maxsize=None)
+def _jitted(log_n: int, inverse: bool):
+    """One fused XLA program per (size, direction): bit-reversal gather
+    + log2(n) butterfly stages (+ 1/n scale for the inverse)."""
+    perm, stage_tw, n_inv = _plan(log_n, inverse)
+    perm_j = jnp.asarray(perm)
+    tws = [jnp.asarray(t) for t in stage_tw]
+    n_inv_j = jnp.asarray(n_inv)
+
+    @jax.jit
+    def run(x):
+        y = _ntt_kernel(x, perm_j, tws)
+        if inverse:
+            y = dev.mont_mul(y, jnp.broadcast_to(n_inv_j, y.shape), dev.FR)
+        return y
+
+    return run
+
+
 def ntt(x, log_n: int):
     """Forward NTT: coefficients -> evaluations (both natural order,
     Montgomery limbs)."""
-    perm, stage_tw, _ = _plan(log_n, False)
-    return _ntt_kernel(x, jnp.asarray(perm), [jnp.asarray(t) for t in stage_tw])
+    return _jitted(log_n, False)(x)
+
+
+def ntt_batched(x, log_n: int, inverse: bool = False):
+    """Batched NTT over the second-to-last axis: x is (..., n, 16).
+    Used by the four-step sharded NTT for its row/column transforms."""
+    fn = intt if inverse else ntt
+    flat = x.reshape((-1,) + x.shape[-2:])
+    out = jax.vmap(lambda v: fn(v, log_n))(flat)
+    return out.reshape(x.shape)
 
 
 def intt(x, log_n: int):
     """Inverse NTT: evaluations -> coefficients (Montgomery limbs)."""
-    perm, stage_tw, n_inv = _plan(log_n, True)
-    y = _ntt_kernel(x, jnp.asarray(perm), [jnp.asarray(t) for t in stage_tw])
-    scale = jnp.broadcast_to(jnp.asarray(n_inv), y.shape)
-    return dev.mont_mul(y, scale, dev.FR)
+    return _jitted(log_n, True)(x)
 
 
 @functools.lru_cache(maxsize=None)

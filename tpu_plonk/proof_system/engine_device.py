@@ -1,0 +1,514 @@
+"""Device prover engine: the polynomial-heavy prover rounds on TPU
+arrays (JAX), mirroring proof_system/prover.py bit-for-bit.
+
+What runs on device (SURVEY.md §3.2 hot paths):
+  - wire/z/PI/quotient (i)NTTs and coset transforms
+  - grand-product ratios + prefix scan + batch inversion
+  - the full widget/permutation constraint evaluation on the 4n coset
+  - polynomial evaluations at zeta / zeta*omega
+  - aggregate-opening quotients (Ruffini via power/suffix scans)
+
+What stays on host: transcript (merlin), KZG commits (host Pippenger or
+pcs/msm_device), proof assembly.  The host engine is the oracle; the
+cross-check test asserts identical proof bytes.
+
+All device values are Montgomery-form (..., 16) uint32 limb arrays.
+Montgomery closure: mont(x)*mont(y) -> mont(x*y) under mont_mul, so the
+whole pipeline stays in Montgomery form; conversions happen only at the
+transcript/commit boundaries.
+"""
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..params import R_MOD, FR_MONT_R, K1, K2, K3, JUBJUB_D
+from ..fields import limbs
+from ..fields import device as dev
+from ..poly import ntt as nttmod
+
+FR = dev.FR
+RINV = pow(FR_MONT_R, -1, R_MOD)
+
+
+# ---------------------------------------------------------------------------
+# host <-> device scalar helpers
+# ---------------------------------------------------------------------------
+
+def to_dev(values):
+    """list of ints -> (len, 16) Montgomery limbs."""
+    return jnp.asarray(limbs.ints_to_limbs(
+        [v % R_MOD * FR_MONT_R % R_MOD for v in values], 16))
+
+
+def to_dev_scalar(v):
+    return to_dev([v])[0]
+
+
+def from_dev(arr):
+    """(..., 16) Montgomery limbs -> list of ints."""
+    vals = limbs.limbs_to_ints(np.asarray(arr).reshape(-1, 16))
+    return [v * RINV % R_MOD for v in vals]
+
+
+@functools.lru_cache(maxsize=None)
+def _const(v: int):
+    return np.asarray(limbs.int_to_limbs(v % R_MOD * FR_MONT_R % R_MOD, 16))
+
+
+def const(v: int, shape=()):
+    return jnp.broadcast_to(jnp.asarray(_const(v)), shape + (16,))
+
+
+def mm(a, b):
+    return dev.mont_mul(a, b, FR)
+
+
+def ad(a, b):
+    return dev.add_mod(a, b, FR)
+
+
+def sb(a, b):
+    return dev.sub_mod(a, b, FR)
+
+
+def cmul(v: int, x):
+    """constant * x (constant as Montgomery immediate)."""
+    return mm(const(v, x.shape[:-1]), x)
+
+
+def csub(x, v: int):
+    return sb(x, const(v, x.shape[:-1]))
+
+
+# ---------------------------------------------------------------------------
+# vectorized widget constraints (mirrors proof_system/constraints.py)
+# ---------------------------------------------------------------------------
+
+def delta_dev(x):
+    """x(x-1)(x-2)(x-3)."""
+    return mm(mm(x, csub(x, 1)), mm(csub(x, 2), csub(x, 3)))
+
+
+def arith_value_dev(w, q):
+    a, b, c, d = w
+    out = mm(q["q_m"], mm(a, b))
+    out = ad(out, mm(q["q_l"], a))
+    out = ad(out, mm(q["q_r"], b))
+    out = ad(out, mm(q["q_4"], d))
+    out = ad(out, mm(q["q_o"], c))
+    return ad(out, q["q_c"])
+
+
+def range_scalar_dev(w, wn, kappa):
+    a, b, c, d = w
+    dn = wn[3]
+    k1 = kappa
+    k2 = mm(kappa, kappa)
+    k3 = mm(k2, kappa)
+    out = delta_dev(sb(c, cmul(4, d)))
+    out = ad(out, mm(k1, delta_dev(sb(b, cmul(4, c)))))
+    out = ad(out, mm(k2, delta_dev(sb(a, cmul(4, b)))))
+    return ad(out, mm(k3, delta_dev(sb(dn, cmul(4, a)))))
+
+
+def logic_scalar_dev(w, wn, q_c, kappa):
+    a, b, _c, d = w
+    an, bn, cn, dn = wn
+    ca = sb(an, cmul(2, a))
+    cb = sb(bn, cmul(2, b))
+    cd = sb(dn, cmul(2, d))
+    wp = cn
+    one = const(1, q_c.shape[:-1])
+    l1 = mm(ca, csub(ca, 1))
+    l2 = mm(cb, csub(cb, 1))
+    l3 = mm(cd, csub(cd, 1))
+    l4 = sb(wp, mm(ca, cb))
+    xor_part = sb(ad(ca, cb), cmul(2, wp))
+    l5 = sb(cd, ad(mm(q_c, xor_part), mm(sb(one, q_c), wp)))
+    out = l1
+    kp = kappa
+    for term in (l2, l3, l4, l5):
+        out = ad(out, mm(kp, term))
+        kp = mm(kp, kappa)
+    return out
+
+
+def fixed_scalar_dev(w, wn, q_l, q_r, q_c, kappa):
+    a, b, c, d = w
+    an, bn, _cn, dn = wn
+    k = sb(dn, cmul(2, d))
+    x_t = mm(k, q_l)
+    y_t = ad(mm(mm(k, k), csub(q_r, 1)), const(1, k.shape[:-1]))
+    f1 = mm(mm(k, csub(k, 1)), ad(k, const(1, k.shape[:-1])))
+    f2 = sb(c, mm(k, q_c))
+    dabc = mm(cmul(JUBJUB_D, a), mm(b, c))
+    f3 = sb(ad(an, mm(an, dabc)), ad(mm(a, y_t), mm(b, x_t)))
+    f4 = sb(sb(bn, mm(bn, dabc)), ad(mm(b, y_t), mm(a, x_t)))
+    k2 = mm(kappa, kappa)
+    out = ad(f1, mm(kappa, f2))
+    out = ad(out, mm(k2, f3))
+    return ad(out, mm(mm(k2, kappa), f4))
+
+
+def vgadd_scalar_dev(w, wn, kappa):
+    x1, y1, x2, y2 = w
+    x3, y3, _cn, aux = wn
+    v1 = sb(aux, mm(x1, y1))
+    dp = mm(cmul(JUBJUB_D, aux), mm(x2, y2))
+    v2 = sb(ad(x3, mm(x3, dp)), ad(mm(x1, y2), mm(y1, x2)))
+    v3 = sb(sb(y3, mm(y3, dp)), ad(mm(y1, y2), mm(x1, x2)))
+    return ad(v1, ad(mm(kappa, v2), mm(mm(kappa, kappa), v3)))
+
+
+def gate_value_dev(w, wn, q, pi, ch):
+    g = ad(mm(q["q_arith"], arith_value_dev(w, q)), pi)
+    g = ad(g, mm(mm(ch["range"], q["q_range"]),
+                 range_scalar_dev(w, wn, ch["range"])))
+    g = ad(g, mm(mm(ch["logic"], q["q_logic"]),
+                 logic_scalar_dev(w, wn, q["q_c"], ch["logic"])))
+    g = ad(g, mm(mm(ch["fixed"], q["q_fixed"]),
+                 fixed_scalar_dev(w, wn, q["q_l"], q["q_r"], q["q_c"],
+                                  ch["fixed"])))
+    g = ad(g, mm(mm(ch["vgadd"], q["q_vgadd"]),
+                 vgadd_scalar_dev(w, wn, ch["vgadd"])))
+    return g
+
+
+# ---------------------------------------------------------------------------
+# polynomial utilities on device
+# ---------------------------------------------------------------------------
+
+def prefix_products(x):
+    """Inclusive prefix products along axis 0 (Montgomery)."""
+    return jax.lax.associative_scan(lambda a, b: mm(a, b), x, axis=0)
+
+
+def powers_of(scalar_mont, n: int):
+    """[1, s, s^2, ..., s^(n-1)] as (n, 16) Montgomery limbs."""
+    base = jnp.broadcast_to(scalar_mont, (n, 16))
+    base = base.at[0].set(const(1))
+    return prefix_products(base)
+
+
+def tree_sum(x):
+    """Sum along axis 0 (mod r) by halving; x: (n, 16) -> (16,)."""
+    n = x.shape[0]
+    while n > 1:
+        half = n // 2
+        lo = x[:half]
+        hi = x[half: 2 * half]
+        s = ad(lo, hi)
+        if n % 2:
+            s = jnp.concatenate([s, x[2 * half:]], axis=0)
+            n = half + 1
+        else:
+            n = half
+        x = s
+    return x[0]
+
+
+def poly_eval_dev(coeffs, zeta_mont):
+    """p(zeta) for (n,16) Montgomery coeffs -> (16,) Montgomery."""
+    pw = powers_of(zeta_mont, coeffs.shape[0])
+    return tree_sum(mm(coeffs, pw))
+
+
+def batch_inv(x):
+    return dev.batch_inv_mont(x, FR, axis=0)
+
+
+# ---------------------------------------------------------------------------
+# device prover
+# ---------------------------------------------------------------------------
+
+KS = (1, K1, K2, K3)
+
+
+class DevicePK:
+    """Device-resident mirrors of the ProverKey tables (built once)."""
+
+    def __init__(self, pk):
+        self.pk = pk
+        n = pk.n
+        self.log_n = n.bit_length() - 1
+        self.log_4n = self.log_n + 2
+        self.sel_coeffs = {k: to_dev(v) for k, v in
+                           pk.selector_coeffs.items()}
+        self.sel_ext = {k: to_dev(v) for k, v in pk.selector_ext.items()}
+        self.sigma_coeffs = [to_dev(v) for v in pk.sigma_coeffs]
+        self.sigma_ext = [to_dev(v) for v in pk.sigma_ext]
+        self.l1_ext = to_dev(pk.l1_ext)
+        self.zh_inv_ext = to_dev(pk.zh_inv_ext)
+        self.coset_points = to_dev(pk.coset_points)
+        self.domain_elems = to_dev(pk.domain.elements())
+        self.wire_idx = {w: jnp.asarray(np.asarray(pk.wire_vars[w],
+                                                   dtype=np.int32))
+                         for w in "abcd"}
+        # sigma evals over H (for the grand product ratios)
+        self.sigma_H = [nttmod.ntt(c, self.log_n)
+                        for c in self.sigma_coeffs]
+
+
+def _shift4(x):
+    """x(w*X) on the 4n coset ordering: roll by 4 positions."""
+    return jnp.roll(x, -4, axis=0)
+
+
+def wire_values_dev(dpk: DevicePK, witness_mont):
+    return {w: witness_mont[dpk.wire_idx[w]] for w in "abcd"}
+
+
+@functools.partial(jax.jit, static_argnames=("log_n",))
+def grand_product_dev(wires, sigma_H, domain_elems, beta, gamma, log_n):
+    """z evaluations over H from wire evals + sigma evals (Montgomery)."""
+    n = 1 << log_n
+    num = const(1, (n,))
+    den = const(1, (n,))
+    for j, w in enumerate("abcd"):
+        wv = wires[w]
+        id_term = ad(ad(wv, mm(jnp.broadcast_to(beta, (n, 16)),
+                               cmul(KS[j], domain_elems))),
+                     jnp.broadcast_to(gamma, (n, 16)))
+        sig_term = ad(ad(wv, mm(jnp.broadcast_to(beta, (n, 16)),
+                                sigma_H[j])),
+                      jnp.broadcast_to(gamma, (n, 16)))
+        num = mm(num, id_term)
+        den = mm(den, sig_term)
+    ratios = mm(num, batch_inv(den))
+    prefix = prefix_products(ratios)
+    z = jnp.concatenate([const(1, (1,)), prefix[:-1]], axis=0)
+    return z, prefix[-1]
+
+
+@jax.jit
+def quotient_dev(tables, wire_ext, z_ext, pi_ext, alpha, ch):
+    """t evaluations over the 4n coset (Montgomery).  `tables` is the
+    dict of extended-domain prover-key arrays (traced, not baked as
+    constants — keeps the compiled program small and reusable)."""
+    m = wire_ext["a"].shape[0]
+    w = tuple(wire_ext[c] for c in "abcd")
+    wn = tuple(_shift4(wire_ext[c]) for c in "abcd")
+    q = tables["sel_ext"]
+    chb = {k: jnp.broadcast_to(v, (m, 16)) for k, v in ch.items()}
+    gate = gate_value_dev(w, wn, q, pi_ext, chb)
+
+    beta = chb["beta"]
+    gamma = chb["gamma"]
+    num = const(1, (m,))
+    den = const(1, (m,))
+    for j in range(4):
+        num = mm(num, ad(ad(w[j], mm(beta, cmul(KS[j],
+                                                tables["coset_points"]))),
+                         gamma))
+        den = mm(den, ad(ad(w[j], mm(beta, tables["sigma_ext"][j])), gamma))
+    perm = sb(mm(num, z_ext), mm(den, _shift4(z_ext)))
+    l1_term = mm(tables["l1_ext"], sb(z_ext, const(1, (m,))))
+    alpha_b = jnp.broadcast_to(alpha, (m, 16))
+    total = ad(gate, ad(mm(alpha_b, perm),
+                        mm(mm(alpha_b, alpha_b), l1_term)))
+    return mm(total, tables["zh_inv_ext"])
+
+
+def ruffini_dev(coeffs, z_mont, z_inv_mont, value_mont):
+    """(p(X) - p(z)) / (X - z) for (n,16) Montgomery coeffs.
+    b_i = z^{-i} * sum_{j>=i} a_j z^j  (suffix-sum formulation)."""
+    n = coeffs.shape[0]
+    p = coeffs.at[0].set(sb(coeffs[0], value_mont))
+    zp = powers_of(z_mont, n)
+    cj = mm(p, zp)
+    suffix = jax.lax.associative_scan(lambda a, b: ad(a, b), cj,
+                                     axis=0, reverse=True)
+    zip_ = powers_of(z_inv_mont, n)
+    b = mm(suffix, zip_)
+    # quotient has degree n-2: b_0..b_{n-2} live at positions 1..n-1
+    return b[1:]
+
+
+def prove_device(composer, pk, srs, label=None, dpk: DevicePK = None,
+                 commit_fn=None, metrics=None):
+    """Device-engine prover; mirrors prover.prove round-for-round and
+    must produce byte-identical proofs (asserted by tests)."""
+    from ..transcript import Transcript
+    from ..transcript import labels as L
+    from ..poly.domain import Domain
+    from ..pcs import kzg
+    from ..utils.metrics import NullMetrics
+    from .proof import Proof
+    from . import prover as host
+
+    met = metrics if metrics is not None else NullMetrics()
+    if label is None:
+        label = L.PROTOCOL
+    if dpk is None:
+        dpk = DevicePK(pk)
+    if commit_fn is None:
+        commit_fn = lambda coeffs_dev: kzg.commit(from_dev(coeffs_dev), srs)  # noqa: E731
+
+    n = pk.n
+    log_n = dpk.log_n
+    dom = pk.domain
+
+    t = Transcript(label)
+    t.circuit_domain_sep(n)
+
+    # ---------------- round 1: wires ----------------
+    with met.timed("r1_wires"):
+        witness_mont = to_dev(composer.witness)
+        wires_H = wire_values_dev(dpk, witness_mont)
+        wire_coeffs = {w: nttmod.intt(wires_H[w], log_n) for w in "abcd"}
+        comm = {}
+        for lbl, name, w in ((L.W_L, "w_l", "a"), (L.W_R, "w_r", "b"),
+                             (L.W_O, "w_o", "c"), (L.W_4, "w_4", "d")):
+            comm[name] = commit_fn(wire_coeffs[w])
+            t.append_commitment(lbl, comm[name])
+    beta_i = t.challenge_scalar(L.BETA)
+    t.append_scalar(L.BETA, beta_i)
+    gamma_i = t.challenge_scalar(L.GAMMA)
+    beta = to_dev_scalar(beta_i)
+    gamma = to_dev_scalar(gamma_i)
+
+    # ---------------- round 2: grand product ----------------
+    with met.timed("r2_grand_product"):
+        z_H, closure = grand_product_dev(
+            wires_H, dpk.sigma_H, dpk.domain_elems, beta, gamma, log_n)
+        z_coeffs = nttmod.intt(z_H, log_n)
+        comm["z"] = commit_fn(z_coeffs)
+    t.append_commitment(L.Z, comm["z"])
+    alpha_i = t.challenge_scalar(L.ALPHA)
+    ch_i = {
+        "range": t.challenge_scalar(L.RANGE_SEP),
+        "logic": t.challenge_scalar(L.LOGIC_SEP),
+        "fixed": t.challenge_scalar(L.FIXED_SEP),
+        "vgadd": t.challenge_scalar(L.VGADD_SEP),
+    }
+    alpha = to_dev_scalar(alpha_i)
+    ch = {k: to_dev_scalar(v) for k, v in ch_i.items()}
+    ch["beta"] = beta
+    ch["gamma"] = gamma
+
+    # ---------------- round 3: quotient ----------------
+    with met.timed("r3_quotient"):
+        log_4n = dpk.log_4n
+        wire_ext = {w: nttmod.coset_ntt(
+            _pad4(wire_coeffs[w]), log_4n) for w in "abcd"}
+        z_ext = nttmod.coset_ntt(_pad4(z_coeffs), log_4n)
+        pi_vec = [0] * n
+        for gi, val in composer.pi.items():
+            pi_vec[gi] = val
+        pi_ext = nttmod.coset_ntt(_pad4(nttmod.intt(to_dev(pi_vec),
+                                                    log_n)), log_4n)
+        tables = {"sel_ext": dpk.sel_ext, "sigma_ext": dpk.sigma_ext,
+                  "l1_ext": dpk.l1_ext, "zh_inv_ext": dpk.zh_inv_ext,
+                  "coset_points": dpk.coset_points}
+        t_ext = quotient_dev(tables, wire_ext, z_ext, pi_ext, alpha, ch)
+        t_coeffs = nttmod.coset_intt(t_ext, log_4n)
+        chunks = [t_coeffs[k * n:(k + 1) * n] for k in range(4)]
+        for k, lbl in enumerate((L.T_1, L.T_2, L.T_3, L.T_4)):
+            comm[f"t_{k + 1}"] = commit_fn(chunks[k])
+            t.append_commitment(lbl, comm[f"t_{k + 1}"])
+    zeta_i = t.challenge_scalar(L.ZETA)
+    zw_i = zeta_i * dom.omega % R_MOD
+    zeta = to_dev_scalar(zeta_i)
+    zw = to_dev_scalar(zw_i)
+
+    # ---------------- round 4: evaluations + linearization ----------
+    with met.timed("r4_evals"):
+        zeta_pows = powers_of(zeta, n)
+        zw_pows = powers_of(zw, n)
+        ev = {}
+        for wname, cname in (("a", "a"), ("b", "b"), ("c", "c"),
+                             ("d", "d")):
+            ev[cname] = _ev(wire_coeffs[wname], zeta_pows)
+            ev[cname + "_next"] = _ev(wire_coeffs[wname], zw_pows)
+        for j, nm in enumerate(("sigma1", "sigma2", "sigma3")):
+            ev[nm] = _ev(dpk.sigma_coeffs[j], zeta_pows)
+        for nm in ("q_arith", "q_c", "q_l", "q_r"):
+            ev[nm] = _ev(dpk.sel_coeffs[nm], zeta_pows)
+        ev["z_shifted"] = _ev(z_coeffs, zw_pows)
+        ev_i = {k: from_dev(v)[0] for k, v in ev.items()}
+
+        co = host.linearization_coefficients(
+            ev_i, zeta_i, beta_i, gamma_i, alpha_i, ch_i, dom)
+        r_coeffs = jnp.zeros((n, 16), jnp.uint32)
+        for name in ("q_m", "q_l", "q_r", "q_o", "q_4", "q_c",
+                     "q_range", "q_logic", "q_fixed", "q_vgadd"):
+            r_coeffs = ad(r_coeffs, mm(const(co[name], (n,)),
+                                       dpk.sel_coeffs[name]))
+        r_coeffs = ad(r_coeffs, mm(const(co["z"], (n,)), z_coeffs))
+        r_coeffs = ad(r_coeffs, mm(const(co["sigma4"], (n,)),
+                                   dpk.sigma_coeffs[3]))
+        ev_i["r"] = from_dev(_ev(r_coeffs, zeta_pows))[0]
+
+        pi_at_zeta = host.eval_pi(composer.pi, dom, zeta_i)
+        t_eval = host.compute_t_eval(ev_i, pi_at_zeta, zeta_i, beta_i,
+                                     gamma_i, alpha_i, dom)
+    host.append_evals(t, ev_i, t_eval)
+    v_i = t.challenge_scalar(L.AGGREGATE_WITNESS)
+
+    # ---------------- round 5: aggregate openings ----------------
+    with met.timed("r5_openings"):
+        zn = pow(zeta_i, n, R_MOD)
+        t_flat = jnp.zeros((n, 16), jnp.uint32)
+        zp = 1
+        for ck in chunks:
+            t_flat = ad(t_flat, mm(const(zp, (n,)), ck))
+            zp = zp * zn % R_MOD
+        agg_zeta = [
+            (t_flat, t_eval), (r_coeffs, ev_i["r"]),
+            (wire_coeffs["a"], ev_i["a"]), (wire_coeffs["b"], ev_i["b"]),
+            (wire_coeffs["c"], ev_i["c"]), (wire_coeffs["d"], ev_i["d"]),
+            (dpk.sigma_coeffs[0], ev_i["sigma1"]),
+            (dpk.sigma_coeffs[1], ev_i["sigma2"]),
+            (dpk.sigma_coeffs[2], ev_i["sigma3"]),
+            (dpk.sel_coeffs["q_arith"], ev_i["q_arith"]),
+            (dpk.sel_coeffs["q_c"], ev_i["q_c"]),
+            (dpk.sel_coeffs["q_l"], ev_i["q_l"]),
+            (dpk.sel_coeffs["q_r"], ev_i["q_r"]),
+        ]
+        agg_zw = [
+            (z_coeffs, ev_i["z_shifted"]),
+            (wire_coeffs["a"], ev_i["a_next"]),
+            (wire_coeffs["b"], ev_i["b_next"]),
+            (wire_coeffs["c"], ev_i["c_next"]),
+            (wire_coeffs["d"], ev_i["d_next"]),
+        ]
+        comm["w_z"] = commit_fn(_aggregate_open(agg_zeta, v_i, zeta_i))
+        comm["w_zw"] = commit_fn(_aggregate_open(agg_zw, v_i, zw_i))
+    t.append_commitment(L.W_Z, comm["w_z"])
+    t.append_commitment(L.W_Z_W, comm["w_zw"])
+
+    evals = {k: ev_i[k] for k in
+             ("a", "b", "c", "d", "a_next", "b_next", "c_next", "d_next",
+              "sigma1", "sigma2", "sigma3",
+              "q_arith", "q_c", "q_l", "q_r", "z_shifted", "r")}
+    return Proof(comm, evals)
+
+
+def _pad4(coeffs):
+    """Pad (n,16) coefficients to 4n for the extended-coset NTT."""
+    n = coeffs.shape[0]
+    return jnp.concatenate(
+        [coeffs, jnp.zeros((3 * n, 16), jnp.uint32)], axis=0)
+
+
+def _ev(coeffs, pows):
+    return tree_sum(mm(coeffs, pows[: coeffs.shape[0]]))
+
+
+def _aggregate_open(poly_value_pairs, v_i: int, point_i: int):
+    """Fold (poly, value) pairs with powers of v, subtract the folded
+    value, divide by (X - point); returns quotient coeffs (device)."""
+    n = poly_value_pairs[0][0].shape[0]
+    agg = jnp.zeros((n, 16), jnp.uint32)
+    agg_val = 0
+    vp = 1
+    for coeffs, value in poly_value_pairs:
+        agg = ad(agg, mm(const(vp, (n,)), coeffs))
+        agg_val = (agg_val + vp * value) % R_MOD
+        vp = vp * v_i % R_MOD
+    z_inv = pow(point_i, -1, R_MOD)
+    return ruffini_dev(agg, to_dev_scalar(point_i),
+                       to_dev_scalar(z_inv), to_dev_scalar(agg_val))
