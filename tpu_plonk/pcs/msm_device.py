@@ -40,30 +40,37 @@ MSM_LANES = 128
 
 
 def _bucket_accumulate(points, digits, c: int, lanes: int = MSM_LANES):
-    """One window -> (2^c, 24)-limb bucket sums (index 0 unused).
+    """All windows at once -> (W, 2^c, 24)-limb bucket sums.
 
     Per-lane private buckets (the GPU-classic layout, TPU-vectorized):
-    N points are split over `lanes` vector lanes; each lane serially
-    accumulates its N/lanes points into its own (2^c) bucket array
-    (gather-add-scatter with per-lane-unique indices), then the lane
-    dimension is folded with a scan.  The trace contains exactly two
-    point-add instances regardless of N — compile time is
-    N-independent, work is N + lanes*2^c adds."""
-    n = digits.shape[0]
+    N points are split over `lanes` vector lanes; each serial step, a
+    lane adds its current point into its private bucket for EVERY
+    window simultaneously ((lane, window) index pairs are unique, so
+    gather-add-scatter is race-free).  The lane axis is then folded
+    with a scan.  The trace contains exactly two point-add instances —
+    compile time is independent of N and W; sequential depth is
+    N/lanes + lanes; work is N*W + lanes*W*2^c adds."""
+    n_windows, n = digits.shape
     lanes = min(lanes, n)
     assert n % lanes == 0, "point count must be divisible by lane count"
     steps = n // lanes
-    lane_idx = jnp.arange(lanes)
+    lane_ix = jnp.broadcast_to(jnp.arange(lanes)[None, :],
+                               (n_windows, lanes))
+    w_ix = jnp.broadcast_to(jnp.arange(n_windows)[:, None],
+                            (n_windows, lanes))
 
     pts = tuple(coord.reshape(steps, lanes, -1) for coord in points)
-    dgs = digits.reshape(steps, lanes)
-    buckets = dg1.identity((lanes, 1 << c))
+    dgs = jnp.swapaxes(digits.reshape(n_windows, steps, lanes), 0, 1)
+    buckets = dg1.identity((lanes, n_windows, 1 << c))
 
     def accumulate(bk, step):
-        spts, sdg = step
-        cur = tuple(b[lane_idx, sdg] for b in bk)
-        new = dg1.add(cur, spts)
-        bk = tuple(b.at[lane_idx, sdg].set(nw) for b, nw in zip(bk, new))
+        spts, sdg = step  # (lanes, 24) coords, (W, lanes) digits
+        cur = tuple(b[lane_ix, w_ix, sdg] for b in bk)  # (W, lanes, 24)
+        bcast = tuple(jnp.broadcast_to(p[None], cur[0].shape)
+                      for p in spts)
+        new = dg1.add(cur, bcast)
+        bk = tuple(b.at[lane_ix, w_ix, sdg].set(nw)
+                   for b, nw in zip(bk, new))
         return bk, None
 
     buckets, _ = jax.lax.scan(accumulate, buckets, (pts, dgs))
@@ -71,44 +78,35 @@ def _bucket_accumulate(points, digits, c: int, lanes: int = MSM_LANES):
     def fold_lane(acc, lane_buckets):
         return dg1.add(acc, lane_buckets), None
 
-    acc0 = dg1.identity(((1 << c),))
-    folded, _ = jax.lax.scan(
-        fold_lane, acc0, tuple(b for b in buckets))
+    acc0 = dg1.identity((n_windows, 1 << c))
+    folded, _ = jax.lax.scan(fold_lane, acc0, buckets)
     return folded
 
 
 def _weighted_bucket_sum(buckets, c: int):
-    """sum_b b * B_b via running-sum: iterate b = 2^c-1 .. 1."""
+    """sum_b b * B_b via the running-sum trick, batched over all
+    windows: buckets (W, 2^c, 24) -> (W, 24)."""
+    n_windows = buckets[0].shape[0]
+
     def body(carry, b_rev):
         running, total = carry
         idx = (1 << c) - 1 - b_rev
-        bucket = tuple(coord[idx] for coord in buckets)
+        bucket = tuple(coord[:, idx] for coord in buckets)
         running = dg1.add(running, bucket)
         total = dg1.add(total, running)
         return (running, total), None
 
-    init = (dg1.identity(()), dg1.identity(()))
-    (running, total), _ = jax.lax.scan(
+    init = (dg1.identity((n_windows,)), dg1.identity((n_windows,)))
+    (_, total), _ = jax.lax.scan(
         body, init, jnp.arange((1 << c) - 1))
     return total
 
 
-@functools.partial(jax.jit, static_argnames=("c",))
-def _msm_window(points, digits, c: int):
+def window_sums_scan(points, digits, c: int):
+    """(W, N) digits -> (W,) weighted per-window bucket sums; shared by
+    the single-chip and sharded paths."""
     buckets = _bucket_accumulate(points, digits, c)
     return _weighted_bucket_sum(buckets, c)
-
-
-def window_sums_scan(points, digits, c: int):
-    """All per-window weighted bucket sums via one lax.scan over the
-    window axis (digits: (W, N)) — a single window graph in the trace,
-    shared by the single-chip and sharded paths."""
-    def body(_, dg):
-        buckets = _bucket_accumulate(points, dg, c)
-        return None, _weighted_bucket_sum(buckets, c)
-
-    _, sums = jax.lax.scan(body, None, digits)
-    return sums
 
 
 @functools.partial(jax.jit, static_argnames=("c",))

@@ -94,11 +94,25 @@ def ntt(x, log_n: int):
 
 def ntt_batched(x, log_n: int, inverse: bool = False):
     """Batched NTT over the second-to-last axis: x is (..., n, 16).
-    Used by the four-step sharded NTT for its row/column transforms."""
-    fn = intt if inverse else ntt
+    Used by the four-step sharded NTT for its row/column transforms.
+
+    Deliberately does NOT reuse the jitted top-level closures: this
+    path runs inside shard_map/jit traces, and a shared jit closure
+    first traced under a manual-sharding context poisons its cache for
+    later top-level calls (observed NotImplementedError on re-use)."""
+    perm, stage_tw, n_inv = _plan(log_n, inverse)
+    perm_j = jnp.asarray(perm)
+    tws = [jnp.asarray(t) for t in stage_tw]
+
+    def f(v):
+        y = _ntt_kernel(v, perm_j, tws)
+        if inverse:
+            y = dev.mont_mul(y, jnp.broadcast_to(jnp.asarray(n_inv),
+                                                 y.shape), dev.FR)
+        return y
+
     flat = x.reshape((-1,) + x.shape[-2:])
-    out = jax.vmap(lambda v: fn(v, log_n))(flat)
-    return out.reshape(x.shape)
+    return jax.vmap(f)(flat).reshape(x.shape)
 
 
 def intt(x, log_n: int):
