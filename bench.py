@@ -22,6 +22,12 @@ import jax.numpy as jnp  # noqa: E402
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
 
 
+def _force(x):
+    """Materialize on host — block_until_ready alone under-reports on
+    the tunneled backend."""
+    return np.asarray(jax.tree_util.tree_leaves(x)[0][..., :1])
+
+
 def bench_ntt(log_n: int, iters: int = 10):
     from tpu_plonk.poly import ntt as nttmod
 
@@ -30,20 +36,22 @@ def bench_ntt(log_n: int, iters: int = 10):
     x = jnp.asarray(rng.integers(0, 1 << 16, size=(n, 16),
                                  dtype=np.uint32))
     t0 = time.time()
-    y = nttmod.ntt(x, log_n).block_until_ready()
+    y = nttmod.ntt(x, log_n)
+    _force(y)
     compile_s = time.time() - t0
     t0 = time.time()
     for _ in range(iters):
         y = nttmod.ntt(y, log_n)
-    y.block_until_ready()
+    _force(y)
     steady = (time.time() - t0) / iters
     return steady, compile_s
 
 
-def bench_msm(log_n: int, c: int = 8):
+def bench_msm(log_n: int, c: int = 4):
     from tpu_plonk.curves import g1, device_g1 as dg1
     from tpu_plonk.pcs import msm_device
 
+    msm_device.MSM_LANES = 256
     n = 1 << log_n
     # distinct small multiples tiled to n (point values don't affect perf)
     base = [g1.mul(g1.GEN, k + 1) for k in range(64)]
@@ -55,12 +63,12 @@ def bench_msm(log_n: int, c: int = 8):
 
     t0 = time.time()
     out = msm_device.msm_device(pts, digits, c)
-    jax.block_until_ready(out)
+    _force(out)
     first_s = time.time() - t0
 
     t0 = time.time()
     out = msm_device.msm_device(pts, digits, c)
-    jax.block_until_ready(out)
+    _force(out)
     steady_s = time.time() - t0
     return n / steady_s, steady_s, first_s
 
@@ -76,9 +84,9 @@ def main():
         ntt_ms[f"ntt_2^{log_n}_compile_s"] = round(comp, 1)
     extra.update(ntt_ms)
 
-    pps, steady_s, first_s = bench_msm(14)
-    extra["msm_2^14_steady_s"] = round(steady_s, 4)
-    extra["msm_2^14_compile_s"] = round(first_s, 1)
+    pps, steady_s, first_s = bench_msm(16)
+    extra["msm_2^16_steady_s"] = round(steady_s, 4)
+    extra["msm_2^16_compile_s"] = round(first_s, 1)
 
     print(json.dumps({
         "metric": "msm_points_per_sec_chip",

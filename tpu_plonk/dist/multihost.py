@@ -1,0 +1,35 @@
+"""Multi-host bootstrap (SURVEY.md §2.10 "Multi-host launcher").
+
+One process per host; host 0 owns the transcript and proof assembly
+(all other hosts compute shards and exchange via ICI/DCN collectives).
+On a pod slice this wraps `jax.distributed.initialize`; on a single
+host it is a no-op so the same binary runs everywhere.
+
+Untestable without a real pod slice in this environment — kept minimal
+and side-effect-free until multi-host hardware exists (ROADMAP.md #5).
+"""
+
+import jax
+
+
+def initialize(coordinator_address: str = None, num_processes: int = None,
+               process_id: int = None) -> None:
+    """Initialize the distributed runtime; no-op when single-process."""
+    if num_processes is None or num_processes <= 1:
+        return
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+
+
+def is_coordinator() -> bool:
+    return jax.process_index() == 0
+
+
+def global_mesh(axis: str = "shard"):
+    """Mesh over every device across all processes."""
+    devs = jax.devices()
+    return jax.make_mesh((len(devs),), (axis,), devices=devs,
+                         axis_types=(jax.sharding.AxisType.Auto,))

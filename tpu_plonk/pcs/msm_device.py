@@ -39,7 +39,7 @@ def window_digits(scalars, c: int, n_windows: int) -> np.ndarray:
 MSM_LANES = 128
 
 
-def _bucket_accumulate(points, digits, c: int, lanes: int = MSM_LANES):
+def _bucket_accumulate(points, digits, c: int, lanes: int = None):
     """All windows at once -> (W, 2^c, 24)-limb bucket sums.
 
     Per-lane private buckets (the GPU-classic layout, TPU-vectorized):
@@ -51,25 +51,29 @@ def _bucket_accumulate(points, digits, c: int, lanes: int = MSM_LANES):
     compile time is independent of N and W; sequential depth is
     N/lanes + lanes; work is N*W + lanes*W*2^c adds."""
     n_windows, n = digits.shape
-    lanes = min(lanes, n)
+    lanes = min(lanes if lanes is not None else MSM_LANES, n)
     assert n % lanes == 0, "point count must be divisible by lane count"
     steps = n // lanes
-    lane_ix = jnp.broadcast_to(jnp.arange(lanes)[None, :],
-                               (n_windows, lanes))
-    w_ix = jnp.broadcast_to(jnp.arange(n_windows)[:, None],
-                            (n_windows, lanes))
-
     pts = tuple(coord.reshape(steps, lanes, -1) for coord in points)
     dgs = jnp.swapaxes(digits.reshape(n_windows, steps, lanes), 0, 1)
     buckets = dg1.identity((lanes, n_windows, 1 << c))
 
+    bucket_iota = jnp.arange(1 << c)[None, None, :]
+
     def accumulate(bk, step):
         spts, sdg = step  # (lanes, 24) coords, (W, lanes) digits
-        cur = tuple(b[lane_ix, w_ix, sdg] for b in bk)  # (W, lanes, 24)
-        bcast = tuple(jnp.broadcast_to(p[None], cur[0].shape)
+        # TPU scatters serialize per index; a masked full-sweep select
+        # is bandwidth-bound instead, which wins for small 2^c.
+        # mask: (lanes, W, 2^c) one-hot over the bucket axis
+        mask = bucket_iota == jnp.swapaxes(sdg, 0, 1)[:, :, None]
+        cur = tuple(
+            jnp.where(mask[..., None], b, 0).sum(axis=2,
+                                                 dtype=jnp.uint32)
+            for b in bk)  # (lanes, W, 24); exactly one nonzero term
+        bcast = tuple(jnp.broadcast_to(p[:, None], cur[0].shape)
                       for p in spts)
         new = dg1.add(cur, bcast)
-        bk = tuple(b.at[lane_ix, w_ix, sdg].set(nw)
+        bk = tuple(jnp.where(mask[..., None], nw[:, :, None, :], b)
                    for b, nw in zip(bk, new))
         return bk, None
 
