@@ -102,3 +102,18 @@ def test_determinism():
     p1 = prove(build(), pk, srs)
     p2 = prove(build(), pk, srs)
     assert p1.to_bytes() == p2.to_bytes()
+
+
+def test_verifier_key_serialization():
+    cs = Composer()
+    a = cs.add_input(4)
+    cs.mul(1, a, a, (-16) % R_MOD)
+    srs = _srs_for(cs)
+    from tpu_plonk.proof_system.preprocess import VerifierKey
+    pk, vk = preprocess(cs, srs)
+    vk2 = VerifierKey.from_bytes(vk.to_bytes())
+    assert vk2.n == vk.n
+    assert vk2.selector_commits == vk.selector_commits
+    assert vk2.sigma_commits == vk.sigma_commits
+    proof = prove(cs, pk, srs)
+    assert verify(proof, vk2, cs.pi, srs)

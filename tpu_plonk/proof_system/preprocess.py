@@ -39,6 +39,32 @@ class VerifierKey:
     selector_commits: dict   # name -> G1
     sigma_commits: list      # 4 G1 points
 
+    def to_bytes(self) -> bytes:
+        """8-byte LE n, then 48-byte compressed commitments in fixed
+        order (selectors by SELECTOR_NAMES, then sigma 1..4) — the
+        dusk-bytes-style layout for key exchange/persistence."""
+        from ..curves import g1
+        out = [self.n.to_bytes(8, "little")]
+        out += [g1.to_bytes(self.selector_commits[name])
+                for name in SELECTOR_NAMES]
+        out += [g1.to_bytes(c) for c in self.sigma_commits]
+        return b"".join(out)
+
+    @staticmethod
+    def from_bytes(data: bytes) -> "VerifierKey":
+        from ..curves import g1
+        n = int.from_bytes(data[:8], "little")
+        off = 8
+        sels = {}
+        for name in SELECTOR_NAMES:
+            sels[name] = g1.from_bytes(data[off:off + 48])
+            off += 48
+        sigmas = []
+        for _ in range(4):
+            sigmas.append(g1.from_bytes(data[off:off + 48]))
+            off += 48
+        return VerifierKey(n, sels, sigmas)
+
 
 def preprocess(composer, srs):
     n = composer.padded_size()
