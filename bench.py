@@ -73,9 +73,38 @@ def bench_msm(log_n: int, c: int = 4):
     return n / steady_s, steady_s, first_s
 
 
+def bench_prove():
+    """End-to-end prove+verify wall-clock at 2^10 gates (host oracle
+    engine — deterministic, no device compile risk)."""
+    from tpu_plonk.cs import Composer
+    from tpu_plonk.pcs import srs as srs_mod
+    from tpu_plonk.proof_system.preprocess import preprocess
+    from tpu_plonk.proof_system.prover import prove
+    from tpu_plonk.proof_system.verifier import verify
+
+    cs = Composer()
+    prev = cs.add_input(3)
+    while cs.n_gates < 1000:
+        prev = cs.mul(1, prev, prev, 1)
+    srs = srs_mod.cached_setup(cs.padded_size() + 8)
+    pk, vk = preprocess(cs, srs)
+    t0 = time.time()
+    proof = prove(cs, pk, srs)
+    prove_s = time.time() - t0
+    t0 = time.time()
+    ok = verify(proof, vk, cs.pi, srs)
+    verify_s = time.time() - t0
+    assert ok
+    return prove_s, verify_s
+
+
 def main():
     dev = jax.devices()[0]
     extra = {"device": str(dev)}
+
+    prove_s, verify_s = bench_prove()
+    extra["prove_2^10_host_s"] = round(prove_s, 2)
+    extra["verify_s"] = round(verify_s, 2)
 
     ntt_ms = {}
     for log_n in (14, 18):

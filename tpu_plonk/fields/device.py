@@ -4,15 +4,15 @@ All functions operate on uint32 arrays whose last axis holds base-2^16
 limbs (little-endian); every other axis is batch.  Products of two
 16-bit limbs are exact in a single u32 multiply — the TPU-native big-int
 strategy (SURVEY.md §7 step 1 / "hard parts" item 1).  No data-dependent
-control flow: carries ripple in fixed-length unrolled chains, reductions
-are compare+select.
+control flow anywhere.
 
 A `FieldCtx` bundles the per-field constants; `FR` (16 limbs) drives the
 NTT / polynomial layer and `FP` (24 limbs) drives the G1 MSM kernels.
 
-Montgomery multiplication = Comba product scanning with separated lo/hi
-column accumulators followed by REDC; ~3*L^2 u32 multiplies per field
-multiply, entirely VPU-friendly elementwise ops that XLA fuses.
+Montgomery multiplication = Comba column sums computed as one exact-f32
+MXU matmul against a constant anti-diagonal matrix, followed by REDC;
+carry/borrow propagation is log-depth Kogge-Stone.  ~3*L^2 limb MACs
+per field multiply, MXU for the products, VPU for the carries.
 """
 
 import dataclasses
@@ -65,48 +65,6 @@ class FieldCtx:
 
 FR = FieldCtx("fr", R_MOD, FR_LIMBS, FR_MONT_R2, FR_NEG_INV)
 FP = FieldCtx("fp", P_MOD, FP_LIMBS, FP_MONT_R2, FP_NEG_INV)
-
-
-# ---------------------------------------------------------------------------
-# carry / borrow chains
-# ---------------------------------------------------------------------------
-
-def _carry_chain(cols):
-    """Ripple carries through a list of per-column u32 accumulators
-    (each < 2^31); returns (limbs list each < 2^16, final carry)."""
-    out = []
-    carry = jnp.zeros_like(cols[0])
-    for c in cols:
-        s = c + carry
-        out.append(s & LIMB_MASK)
-        carry = s >> LIMB_BITS
-    return out, carry
-
-
-def _sub_limbs(a_cols, b_cols):
-    """a - b limbwise with borrow; returns (limbs, borrow in {0,1})."""
-    out = []
-    borrow = jnp.zeros_like(a_cols[0])
-    for x, y in zip(a_cols, b_cols):
-        d = x - y - borrow  # u32 wraparound
-        out.append(d & LIMB_MASK)
-        borrow = (d >> 31)  # 1 iff wrapped (values < 2^17 so bit31 flags it)
-    return out, borrow
-
-
-def _select(cond, a_cols, b_cols):
-    """cond ? a : b, columnwise (cond is a {0,1} u32 array)."""
-    c = cond.astype(jnp.bool_)
-    return [jnp.where(c, x, y) for x, y in zip(a_cols, b_cols)]
-
-
-def _split(a):
-    """(..., L) array -> list of L (...,) columns."""
-    return [a[..., i] for i in range(a.shape[-1])]
-
-
-def _join(cols):
-    return jnp.stack(cols, axis=-1)
 
 
 # ---------------------------------------------------------------------------
@@ -211,17 +169,6 @@ def _comba_matmul(a, b, n_out=None):
     cols = jnp.matmul(lohi, mat, preferred_element_type=jnp.float32,
                       precision=jax.lax.Precision.HIGHEST)
     return cols.astype(jnp.uint32)
-
-
-def _comba_columns(a_cols, b_cols, n_out=None):
-    """Column-list adapter over _comba_matmul (kept for mont_mul's
-    internal list-of-columns carry plumbing)."""
-    L = len(a_cols)
-    if n_out is None:
-        n_out = 2 * L
-    cols = _comba_matmul(jnp.stack(a_cols, axis=-1),
-                         jnp.stack(b_cols, axis=-1), n_out)
-    return [cols[..., k] for k in range(n_out)]
 
 
 def _carry_array(cols):
