@@ -117,3 +117,24 @@ def test_verifier_key_serialization():
     assert vk2.sigma_commits == vk.sigma_commits
     proof = prove(cs, pk, srs)
     assert verify(proof, vk2, cs.pi, srs)
+
+
+def test_prover_verifier_wrappers():
+    """dusk-style Prover/Verifier pairing: both sides build the circuit
+    independently; only the proof and public inputs cross."""
+    from tpu_plonk.proof_system.prover import Prover
+    from tpu_plonk.proof_system.verifier import Verifier
+
+    def build(composer, value):
+        a = composer.add_input(value)
+        composer.mul(1, a, a, 0)
+        composer.constrain_to_constant(a, 0, (-value) % R_MOD)
+
+    p = Prover(label=b"wrapper test")
+    build(p.composer, 21)
+    srs = _srs_for(p.composer)
+    proof = p.prove(srs)
+
+    v = Verifier(label=b"wrapper test")
+    build(v.composer, 21)  # verifier rebuilds structure w/ same PI
+    assert v.verify(proof, p.composer.pi, srs)

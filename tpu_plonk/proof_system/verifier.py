@@ -101,3 +101,24 @@ def _msm_pairs(pairs):
         acc = hostmsm.jac_add(
             acc, hostmsm.jac_from_affine(g1.mul(point, scalar)))
     return hostmsm.jac_to_affine(acc)
+
+
+class Verifier:
+    """Convenience wrapper bundling composer+keys (dusk `Verifier`
+    shape): build the same circuit, preprocess once, verify many."""
+
+    def __init__(self, label: bytes = L.PROTOCOL):
+        from ..cs import Composer
+        self.label = label
+        self.composer = Composer()
+        self.vk = None
+
+    def preprocess(self, srs):
+        from .preprocess import preprocess as _pp
+        _, self.vk = _pp(self.composer, srs)
+        return self.vk
+
+    def verify(self, proof: Proof, public_inputs: dict, srs) -> bool:
+        if self.vk is None:
+            self.preprocess(srs)
+        return verify(proof, self.vk, public_inputs, srs, self.label)
