@@ -51,7 +51,6 @@ def bench_msm(log_n: int, c: int = 4):
     from tpu_plonk.curves import g1, device_g1 as dg1
     from tpu_plonk.pcs import msm_device
 
-    msm_device.MSM_LANES = 256
     n = 1 << log_n
     # distinct small multiples tiled to n (point values don't affect perf)
     base = [g1.mul(g1.GEN, k + 1) for k in range(64)]
@@ -62,12 +61,12 @@ def bench_msm(log_n: int, c: int = 4):
                           dtype=np.int32)
 
     t0 = time.time()
-    out = msm_device.msm_device(pts, digits, c)
+    out = msm_device.msm_device(pts, digits, c, lanes=256)
     _force(out)
     first_s = time.time() - t0
 
     t0 = time.time()
-    out = msm_device.msm_device(pts, digits, c)
+    out = msm_device.msm_device(pts, digits, c, lanes=256)
     _force(out)
     steady_s = time.time() - t0
     return n / steady_s, steady_s, first_s

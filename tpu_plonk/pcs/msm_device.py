@@ -1,18 +1,17 @@
 """TPU Pippenger MSM (single chip) — the framework's headline kernel
 (BASELINE.md metric: MSM points/sec/chip).
 
-Strategy per c-bit window (no data-dependent control flow anywhere):
+Strategy (no data-dependent control flow, no scatters, N-independent
+compile):
   1. digits: host-precomputed (n_windows, N) int32 window digits
-  2. argsort digits, gather points into digit order (XLA sort/gather)
-  3. segmented inclusive scan with the complete-add combiner
-     ((P1,d1) op (P2,d2) = (d1==d2 ? P1+P2 : P2, d2)) — associative,
-     so jax.lax.associative_scan parallelizes it in log N depth
-  4. segment tails scattered into 2^c bucket slots
-  5. weighted bucket sum  sum_b b*B_b  via the running-sum scan
-  6. windows folded high->low with c doublings per step
+  2. per-lane private bucket accumulation over ALL windows per step
+     (masked one-hot sweeps — TPU scatters serialize per index)
+  3. lane fold, then weighted bucket sums  sum_b b*B_b  via the
+     running-sum scan, batched over windows
+  4. windows folded high->low with c doublings per step (fori_loop)
 
-The multi-chip version shards step 1-4 per device and psums the bucket
-accumulators (dist/msm_sharded.py).
+The multi-chip version runs 1-3 per device shard and EC-combines the
+per-device window sums (dist/msm_sharded.py).
 """
 
 import functools
@@ -106,10 +105,10 @@ def _weighted_bucket_sum(buckets, c: int):
     return total
 
 
-def window_sums_scan(points, digits, c: int):
+def window_sums_scan(points, digits, c: int, lanes: int = None):
     """(W, N) digits -> (W,) weighted per-window bucket sums; shared by
     the single-chip and sharded paths."""
-    buckets = _bucket_accumulate(points, digits, c)
+    buckets = _bucket_accumulate(points, digits, c, lanes)
     return _weighted_bucket_sum(buckets, c)
 
 
@@ -133,11 +132,12 @@ def _fold_windows(window_sums, c: int):
     return acc
 
 
-@functools.partial(jax.jit, static_argnames=("c",))
-def msm_device(points_dev, digits, c: int):
+@functools.partial(jax.jit, static_argnames=("c", "lanes"))
+def msm_device(points_dev, digits, c: int, lanes: int = None):
     """Full MSM on device.  points_dev: (N,24)x3 Montgomery projective;
-    digits: (n_windows, N) int32.  Returns projective limb point."""
-    sums = window_sums_scan(points_dev, jnp.asarray(digits), c)
+    digits: (n_windows, N) int32.  Returns projective limb point.
+    `lanes` is part of the jit key (it shapes the bucket arrays)."""
+    sums = window_sums_scan(points_dev, jnp.asarray(digits), c, lanes)
     return _fold_windows(sums, c)
 
 
