@@ -1,0 +1,48 @@
+"""MXU-matmul NTT (int8 DFT levels + matmul-REDC) vs the host oracle."""
+
+import random
+
+import numpy as np
+import jax.numpy as jnp
+
+from tpu_plonk.params import R_MOD, FR_MONT_R
+from tpu_plonk.fields import limbs
+from tpu_plonk.poly import ntt_mxu
+from tpu_plonk.poly.domain import Domain
+
+rng = random.Random(0x37C)
+
+
+def test_digit_roundtrip():
+    vals = [rng.randrange(R_MOD) for _ in range(16)] + [0, 1, R_MOD - 1]
+    x = jnp.asarray(limbs.fr_to_limbs(vals))
+    back = ntt_mxu.digits_to_limbs(ntt_mxu.limbs_to_digits(x))
+    assert limbs.limbs_to_ints(np.asarray(back)) == vals
+
+
+def test_redc_digits():
+    # REDC'(T) == T * 2^-273 mod q for random T < 2^500
+    ts = [rng.randrange(1 << 500) for _ in range(8)]
+    cols = np.zeros((8, 80), dtype=np.int32)
+    for i, t in enumerate(ts):
+        for d in range(80):
+            cols[i, d] = (t >> (7 * d)) & 0x7F
+    out = ntt_mxu.redc_digits(jnp.asarray(cols, jnp.int8))
+    rp_inv = pow(1 << 273, -1, R_MOD)
+    for i, t in enumerate(ts):
+        got = sum(int(v) << (7 * d)
+                  for d, v in enumerate(np.asarray(out)[i]))
+        assert got % R_MOD == t * rp_inv % R_MOD
+        assert got < 2 * R_MOD  # lazy bound
+
+
+def test_mxu_ntt_matches_oracle():
+    log_n, radix = 8, 16
+    n = 1 << log_n
+    coeffs = [rng.randrange(R_MOD) for _ in range(n)]
+    x = jnp.asarray(limbs.fr_to_limbs(
+        [c * FR_MONT_R % R_MOD for c in coeffs]))
+    y = ntt_mxu.ntt_mxu(x, log_n, radix)
+    rinv = pow(FR_MONT_R, -1, R_MOD)
+    got = [v * rinv % R_MOD for v in limbs.limbs_to_ints(np.asarray(y))]
+    assert got == Domain(n).ntt(coeffs)

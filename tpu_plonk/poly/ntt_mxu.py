@@ -1,0 +1,267 @@
+"""MXU-native NTT: the radix-R DFT step as int8 matrix multiplication
+(experimental flagship kernel; ROADMAP.md #1/#6).
+
+Idea: a size-R NTT block is  y_k = sum_j W[k,j] * x_j  — a *shared*
+contraction over j, unlike the butterfly formulation whose field
+multiplies are elementwise.  Decompose field elements into 7-bit digits
+(int8-exact), and the whole block becomes ONE int8 matmul with exact
+int32 accumulation:
+
+    V[k*Dc + c, col] = sum_{j, b} W2[k*Dc + c, j*Dx + b] * Xd[j*Dx + b, col]
+    W2[k*Dc + c, j*Dx + b] = digit_{c-b}(W[k,j])      (Toeplitz in c-b)
+
+so V's columns are the base-2^7 convolution columns of sum_j W*x.
+Montgomery reduction of the (R * q^2)-sized sums also becomes int8
+matmuls: m = T_lo (*) q' and m*q are convolutions with *constant*
+kernels = matmuls against precomputed Toeplitz matrices.  The only
+elementwise work left is digit renormalization (carry passes).
+
+Values stay lazily reduced (< 2^256 < 4.6q) between levels; the W
+constants absorb both the Montgomery factor 2^DR7*7 and lazy bounds.
+Exactness invariants (int8 in, int32 accumulate):
+    products <= 127^2; contraction depth <= R*Dx = 512*38 -> sums
+    <= 3.2e8 < 2^31.
+
+Four-step composition (n = R*C) reuses the existing Montgomery
+elementwise multiply only at the single twiddle boundary.
+"""
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..params import R_MOD, FR_MONT_R
+from ..fields import limbs as limbs_mod
+from ..fields import device as dev
+from .domain import Domain
+
+D7 = 7                 # digit width (int8-exact products)
+DX = 38                # digits per operand (covers 2^266 > lazy bound 2^256)
+DR = 39                # digits of the Montgomery radix R' = 2^(39*7) = 2^273
+DC = DX + 37 - 1 + 2   # product columns kept (operand conv + headroom)
+RPRIME_BITS = DR * D7  # 273
+
+
+def _int_digits(v: int, count: int) -> np.ndarray:
+    return np.array([(v >> (D7 * i)) & 0x7F for i in range(count)],
+                    dtype=np.int8)
+
+
+# ---------------------------------------------------------------------------
+# host-side constant construction (cached per radix)
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=None)
+def _redc_mats():
+    """Toeplitz kernels for the matmul-REDC:
+    M_QP (DR, DR): m = T_lo (*) (-q^-1 mod 2^273), low DR columns
+    M_Q  (DR, DR+37): m (*) q, full columns."""
+    qp = (-pow(R_MOD, -1, 1 << RPRIME_BITS)) % (1 << RPRIME_BITS)
+    qp_d = _int_digits(qp, DR)
+    q_d = _int_digits(R_MOD, 37)
+    m_qp = np.zeros((DR, DR), dtype=np.int8)
+    for b in range(DR):
+        for c in range(b, DR):
+            if c - b < DR:
+                m_qp[b, c] = qp_d[c - b]
+    n_out = DR + 37
+    m_q = np.zeros((DR, n_out), dtype=np.int8)
+    for b in range(DR):
+        for c in range(b, min(b + 37, n_out)):
+            m_q[b, c] = q_d[c - b]
+    return m_qp, m_q
+
+
+@functools.lru_cache(maxsize=None)
+def _dft_matrix(radix: int, log_n: int, level: int):
+    """W2 for one four-step level, int8 (radix*DC, radix*DX).
+
+    level 0: W[k,j] = w_R^(kj) * 2^273  (Montgomery-compensated)
+    level 1: same with the outer root.
+    The 2^273 compensates this level's REDC' division."""
+    n = 1 << log_n
+    dom = Domain(radix)
+    omega = dom.omega
+    comp = (1 << RPRIME_BITS) % R_MOD
+    # W[k, j] canonical, pre-multiplied by the REDC' compensation
+    w2 = np.zeros((radix * DC, radix * DX), dtype=np.int8)
+    wd = np.zeros((radix, radix, 37), dtype=np.int8)
+    pw = [pow(omega, k, R_MOD) for k in range(radix)]
+    for k in range(radix):
+        for j in range(radix):
+            val = pw[(k * j) % radix] * comp % R_MOD
+            wd[k, j] = _int_digits(val, 37)
+    for b in range(DX):
+        cs = slice(b, b + 37)
+        # W2[k*DC + (b..b+37), j*DX + b] = wd[k, j, :]
+        for k in range(radix):
+            w2[k * DC + b: k * DC + b + 37,
+               np.arange(radix) * DX + b] = wd[k].T
+    return jnp.asarray(w2)
+
+
+@functools.lru_cache(maxsize=None)
+def _twiddle_table(log_n: int, radix: int, inverse: bool):
+    """(R, C) Montgomery-premultiplied twiddles w_N^(n1*k2) * 2^256,
+    so mont_mul(plain_x, table) = plain product (16-limb arrays)."""
+    n = 1 << log_n
+    c = n // radix
+    dom = Domain(n)
+    w = dom.omega_inv if inverse else dom.omega
+    rows = []
+    for n1 in range(c):
+        base = pow(w, n1, R_MOD)
+        acc = 1
+        vals = []
+        for _ in range(radix):
+            vals.append(acc * FR_MONT_R % R_MOD)
+            acc = acc * base % R_MOD
+        rows.append(limbs_mod.ints_to_limbs(vals, 16))
+    return jnp.asarray(np.stack(rows))  # (C, R, 16)
+
+
+# ---------------------------------------------------------------------------
+# device digit plumbing
+# ---------------------------------------------------------------------------
+
+
+def limbs_to_digits(x):
+    """(batch, 16) u16 limbs -> (batch, DX) int8 7-bit digits."""
+    outs = []
+    zero = jnp.zeros_like(x[:, 0])
+    for d in range(DX):
+        lo_bit = D7 * d
+        j, s = lo_bit >> 4, lo_bit & 15
+        w = x[:, j] >> s
+        if s > 9 and j + 1 < 16:
+            w = w | (x[:, j + 1] << (16 - s))
+        if lo_bit >= 256:
+            w = zero
+        outs.append((w & 0x7F).astype(jnp.int8))
+    return jnp.stack(outs, axis=-1)
+
+
+def digits_to_limbs(d):
+    """(batch, D) int8 digits (values < 2^256) -> (batch, 16) u16."""
+    nd = d.shape[-1]
+    du = d.astype(jnp.uint32)
+    cols = [jnp.zeros_like(du[:, 0]) for _ in range(17)]
+    for i in range(nd):
+        lo_bit = D7 * i
+        j, s = lo_bit >> 4, lo_bit & 15
+        if j < 16:
+            cols[j] = cols[j] + (du[:, i] << s)
+    stacked = jnp.stack(cols[:16], axis=-1)
+    return dev._carry_array(stacked)
+
+
+def renorm(cols, n_out: int):
+    """int32 convolution columns -> n_out 7-bit digits (int8).
+    Sequential base-2^7 carry ripple (each col < 2^31)."""
+    nc = cols.shape[-1]
+    carry = jnp.zeros_like(cols[:, 0], dtype=jnp.int32)
+    outs = []
+    for i in range(n_out):
+        t = (cols[:, i].astype(jnp.int32) if i < nc else
+             jnp.zeros_like(carry)) + carry
+        outs.append((t & 0x7F).astype(jnp.int8))
+        carry = t >> D7
+    return jnp.stack(outs, axis=-1)
+
+
+def _i8mm(a, b):
+    """Exact int8 x int8 -> int32 matmul."""
+    return jax.lax.dot_general(
+        a.astype(jnp.int8), b.astype(jnp.int8),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)
+
+
+def redc_digits(t_digits):
+    """Matmul-REDC': T (batch, >=DR+37 digits, value < 2^528) ->
+    (batch, DX) digits of T * 2^-273 mod q, lazily reduced (< 2^256)."""
+    m_qp, m_q = _redc_mats()
+    t_lo = t_digits[:, :DR]
+    m_cols = _i8mm(t_lo, jnp.asarray(m_qp))
+    m = renorm(m_cols, DR)
+    mq_cols = _i8mm(m, jnp.asarray(m_q))
+    n_cols = max(t_digits.shape[-1], mq_cols.shape[-1])
+    t_pad = jnp.pad(t_digits.astype(jnp.int32),
+                    ((0, 0), (0, n_cols - t_digits.shape[-1])))
+    mq_pad = jnp.pad(mq_cols, ((0, 0), (0, n_cols - mq_cols.shape[-1])))
+    u = renorm(t_pad + mq_pad, n_cols + 4)
+    return u[:, DR:DR + DX]
+
+
+def dft_level(x_digits, w2, radix: int):
+    """One DFT level over all columns.
+    x_digits: (radix, ncols, DX) -> (radix, ncols, DX) lazily-reduced
+    digit outputs (value = 2^-273-compensated sum, i.e. exact since W2
+    carries the 2^273)."""
+    ncols = x_digits.shape[1]
+    rhs = jnp.transpose(x_digits, (0, 2, 1)).reshape(radix * DX, ncols)
+    v = _i8mm(w2, rhs)                       # (radix*DC, ncols)
+    v = v.reshape(radix, DC, ncols)
+    v = jnp.transpose(v, (0, 2, 1)).reshape(radix * ncols, DC)
+    t = renorm(v, DR + 37 + 4)
+    out = redc_digits(t)
+    return out.reshape(radix, ncols, DX)
+
+
+# ---------------------------------------------------------------------------
+# four-step MXU NTT (n = radix * C, C = n / radix)
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=None)
+def _jitted_mxu(log_n: int, radix: int):
+    n = 1 << log_n
+    c = n // radix
+    w2_inner = _dft_matrix(radix, log_n, 0)
+    w2_outer = _dft_matrix(c, log_n, 1)
+    tw = _twiddle_table(log_n, radix, False)
+
+    @jax.jit
+    def run(x):
+        # x: (n, 16) u16 Montgomery limbs, A[n2][n1] = x[n1 + C*n2]
+        a = limbs_to_digits(x).reshape(n // c, c, DX)    # (R, C, DX)
+        b = dft_level(a, w2_inner, radix)                # DFT_R over rows
+        # twiddle boundary: digits -> limbs, mont-mul, -> digits
+        b_limbs = digits_to_limbs(b.reshape(radix * c, DX))
+        b_limbs = b_limbs.reshape(radix, c, 16)
+        tw_t = jnp.transpose(tw, (1, 0, 2))              # (R, C, 16)
+        b_limbs = dev.mont_mul(b_limbs, tw_t, dev.FR)
+        bt = limbs_to_digits(b_limbs.reshape(radix * c, 16))
+        bt = bt.reshape(radix, c, DX)
+        bt = jnp.transpose(bt, (1, 0, 2))                # (C, R, DX)
+        xo = dft_level(bt, w2_outer, c)                  # DFT_C
+        out = digits_to_limbs(xo.reshape(n, DX))
+        # canonicalize: lazily-reduced (< 2^256) -> [0, q)
+        out = dev.sub_mod(out, jnp.zeros_like(out), dev.FR)
+        return _canonical(out)
+
+    return run
+
+
+def _canonical(x):
+    """Reduce values < 2^256 (< 4.6q) into [0, q): 3 conditional
+    subtractions."""
+    for _ in range(3):
+        d, borrow = dev._sub_array(
+            x, jnp.broadcast_to(jnp.asarray(dev.FR.mod_limbs,
+                                            jnp.uint32), x.shape))
+        x = jnp.where((borrow == 0)[..., None], d, x)
+    return x
+
+
+def ntt_mxu(x, log_n: int, radix: int = None):
+    """Forward NTT via MXU DFT levels; x (n,16) Montgomery limbs in
+    natural order -> evaluations in natural order."""
+    n = 1 << log_n
+    if radix is None:
+        radix = 1 << (log_n - log_n // 2)
+    run = _jitted_mxu(log_n, radix)
+    return run(x)
