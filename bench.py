@@ -112,6 +112,18 @@ def main():
         ntt_ms[f"ntt_2^{log_n}_compile_s"] = round(comp, 1)
     extra.update(ntt_ms)
 
+    # MXU-matmul NTT (int8 DFT levels; wins at large sizes)
+    from tpu_plonk.poly import ntt_mxu
+    x18 = jnp.asarray(np.random.default_rng(5).integers(
+        0, 3, size=(1 << 18, 16), dtype=np.uint32))
+    y = ntt_mxu.ntt_mxu(x18, 18, 512)
+    _force(y)
+    t0 = time.time()
+    for _ in range(5):
+        y = ntt_mxu.ntt_mxu(x18, 18, 512)
+    _force(y)
+    extra["ntt_mxu_2^18_ms"] = round((time.time() - t0) / 5 * 1e3, 3)
+
     pps, steady_s, first_s = bench_msm(16)
     extra["msm_2^16_steady_s"] = round(steady_s, 4)
     extra["msm_2^16_compile_s"] = round(first_s, 1)

@@ -220,12 +220,12 @@ def dft_level(x_digits, w2, radix: int):
 def _jitted_mxu(log_n: int, radix: int):
     n = 1 << log_n
     c = n // radix
-    w2_inner = _dft_matrix(radix, log_n, 0)
-    w2_outer = _dft_matrix(c, log_n, 1)
-    tw = _twiddle_table(log_n, radix, False)
 
+    # constants passed as runtime arguments, NOT closed-over trace
+    # constants: a trace-embedded 50-750MB W2 blows past the remote
+    # compiler's request-size limit (and bloats the executable).
     @jax.jit
-    def run(x):
+    def run(x, w2_inner, w2_outer, tw):
         # x: (n, 16) u16 Montgomery limbs, A[n2][n1] = x[n1 + C*n2]
         a = limbs_to_digits(x).reshape(n // c, c, DX)    # (R, C, DX)
         b = dft_level(a, w2_inner, radix)                # DFT_R over rows
@@ -264,4 +264,6 @@ def ntt_mxu(x, log_n: int, radix: int = None):
     if radix is None:
         radix = 1 << (log_n - log_n // 2)
     run = _jitted_mxu(log_n, radix)
-    return run(x)
+    return run(x, _dft_matrix(radix, log_n, 0),
+               _dft_matrix(n // radix, log_n, 1),
+               _twiddle_table(log_n, radix, False))
