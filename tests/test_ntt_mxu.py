@@ -46,3 +46,23 @@ def test_mxu_ntt_matches_oracle():
     rinv = pow(FR_MONT_R, -1, R_MOD)
     got = [v * rinv % R_MOD for v in limbs.limbs_to_ints(np.asarray(y))]
     assert got == Domain(n).ntt(coeffs)
+
+
+def test_mxu_intt_roundtrip():
+    log_n, radix = 8, 16
+    n = 1 << log_n
+    coeffs = [rng.randrange(R_MOD) for _ in range(n)]
+    x = jnp.asarray(limbs.fr_to_limbs(
+        [c * FR_MONT_R % R_MOD for c in coeffs]))
+    y = ntt_mxu.ntt_mxu(x, log_n, radix)
+    back = ntt_mxu.ntt_mxu(y, log_n, radix, inverse=True)
+    rinv = pow(FR_MONT_R, -1, R_MOD)
+    got = [v * rinv % R_MOD for v in limbs.limbs_to_ints(np.asarray(back))]
+    assert got == coeffs
+    # and the inverse alone matches the oracle
+    evals = Domain(n).ntt(coeffs)
+    xe = jnp.asarray(limbs.fr_to_limbs(
+        [e * FR_MONT_R % R_MOD for e in evals]))
+    ci = ntt_mxu.ntt_mxu(xe, log_n, radix, inverse=True)
+    got2 = [v * rinv % R_MOD for v in limbs.limbs_to_ints(np.asarray(ci))]
+    assert got2 == coeffs

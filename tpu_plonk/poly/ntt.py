@@ -86,9 +86,19 @@ def _jitted(log_n: int, inverse: bool):
     return run
 
 
+#: sizes >= this go through the MXU-matmul NTT (int8 DFT levels);
+#: below it the fused butterfly path wins — the MXU path has a ~38ms
+#: sequential-renorm latency floor (measured: butterfly 2^16 ~27ms vs
+#: MXU ~38ms; 2^18 butterfly ~107ms vs MXU ~39ms).
+MXU_THRESHOLD_LOG_N = 17
+
+
 def ntt(x, log_n: int):
     """Forward NTT: coefficients -> evaluations (both natural order,
     Montgomery limbs)."""
+    if log_n >= MXU_THRESHOLD_LOG_N:
+        from . import ntt_mxu
+        return ntt_mxu.ntt_mxu(x, log_n)
     return _jitted(log_n, False)(x)
 
 
@@ -117,6 +127,9 @@ def ntt_batched(x, log_n: int, inverse: bool = False):
 
 def intt(x, log_n: int):
     """Inverse NTT: evaluations -> coefficients (Montgomery limbs)."""
+    if log_n >= MXU_THRESHOLD_LOG_N:
+        from . import ntt_mxu
+        return ntt_mxu.ntt_mxu(x, log_n, inverse=True)
     return _jitted(log_n, True)(x)
 
 

@@ -76,16 +76,19 @@ def _redc_mats():
 
 
 @functools.lru_cache(maxsize=None)
-def _dft_matrix(radix: int, log_n: int, level: int):
+def _dft_matrix(radix: int, log_n: int, level: int,
+                inverse: bool = False):
     """W2 for one four-step level, int8 (radix*DC, radix*DX).
 
-    level 0: W[k,j] = w_R^(kj) * 2^273  (Montgomery-compensated)
-    level 1: same with the outer root.
-    The 2^273 compensates this level's REDC' division."""
+    W[k,j] = w_R^(+-kj) * 2^273  (Montgomery-compensated; the 2^273
+    cancels this level's REDC' division).  The inverse transform's
+    1/n factor is folded into the outer (level 1) matrix."""
     n = 1 << log_n
     dom = Domain(radix)
-    omega = dom.omega
+    omega = dom.omega_inv if inverse else dom.omega
     comp = (1 << RPRIME_BITS) % R_MOD
+    if inverse and level == 1:
+        comp = comp * pow(n, -1, R_MOD) % R_MOD
     # W[k, j] canonical, pre-multiplied by the REDC' compensation
     w2 = np.zeros((radix * DC, radix * DX), dtype=np.int8)
     wd = np.zeros((radix, radix, 37), dtype=np.int8)
@@ -217,7 +220,7 @@ def dft_level(x_digits, w2, radix: int):
 
 
 @functools.lru_cache(maxsize=None)
-def _jitted_mxu(log_n: int, radix: int):
+def _jitted_mxu(log_n: int, radix: int, inverse: bool = False):
     n = 1 << log_n
     c = n // radix
 
@@ -257,13 +260,13 @@ def _canonical(x):
     return x
 
 
-def ntt_mxu(x, log_n: int, radix: int = None):
-    """Forward NTT via MXU DFT levels; x (n,16) Montgomery limbs in
-    natural order -> evaluations in natural order."""
+def ntt_mxu(x, log_n: int, radix: int = None, inverse: bool = False):
+    """(i)NTT via MXU DFT levels; x (n,16) Montgomery limbs in natural
+    order -> transform in natural order (iNTT includes the 1/n)."""
     n = 1 << log_n
     if radix is None:
         radix = 1 << (log_n - log_n // 2)
-    run = _jitted_mxu(log_n, radix)
-    return run(x, _dft_matrix(radix, log_n, 0),
-               _dft_matrix(n // radix, log_n, 1),
-               _twiddle_table(log_n, radix, False))
+    run = _jitted_mxu(log_n, radix, inverse)
+    return run(x, _dft_matrix(radix, log_n, 0, inverse),
+               _dft_matrix(n // radix, log_n, 1, inverse),
+               _twiddle_table(log_n, radix, inverse))
