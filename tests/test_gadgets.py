@@ -95,3 +95,15 @@ def test_poseidon_gadget_tamper_detected():
     out = poseidon.sponge_gadget(cs, mvars)
     cs.witness[out] = (cs.witness[out] + 1) % R_MOD
     assert not cs.check_satisfied()
+
+
+def test_poseidon_device_matches_host():
+    from tpu_plonk.gadgets import poseidon_device
+    msgs = [[1, 2, 3], [7, 8, 9], [0, 0, 0], [rng.randrange(R_MOD)] * 3]
+    got = poseidon_device.sponge_hash_device(msgs)
+    want = [poseidon.sponge_hash(m) for m in msgs]
+    assert got == want
+    # longer-than-rate messages too
+    msgs2 = [list(range(9)), [5] * 9]
+    assert poseidon_device.sponge_hash_device(msgs2) == \
+        [poseidon.sponge_hash(m) for m in msgs2]
