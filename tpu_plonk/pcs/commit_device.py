@@ -41,8 +41,14 @@ class DeviceCommitter:
     def commit(self, coeffs_mont):
         n = coeffs_mont.shape[0]
         assert n <= self.max_len, "polynomial exceeds committed SRS"
+        if n < self.max_len:
+            # zero-pad to the committed length: zero scalars are
+            # MSM-neutral, and a single shape means every commit in a
+            # proof reuses one compiled MSM
+            coeffs_mont = jnp.concatenate(
+                [coeffs_mont,
+                 jnp.zeros((self.max_len - n, 16), jnp.uint32)])
         canon = dev.from_mont(coeffs_mont, dev.FR)
         digits = extract_digits(canon, self.c)
-        pts = tuple(p[:n] for p in self.points)
-        out = msm_device.msm_device(pts, digits, self.c)
+        out = msm_device.msm_device(self.points, digits, self.c)
         return dg1.points_from_device(tuple(x[None] for x in out))[0]
