@@ -58,3 +58,52 @@ def test_cli_demo_subprocess():
     payload = json.loads(out.stdout.strip().splitlines()[-1])
     assert payload["verified"] is True
     assert payload["proof_bytes"] == 1072
+
+
+def test_prover_round_checkpoint_resume(tmp_path):
+    """Crash-resume at a round boundary: delete later rounds from the
+    checkpoint, re-prove, and confirm earlier rounds were loaded (no
+    recomputation) while proof bytes stay identical."""
+    from tpu_plonk.params import R_MOD
+    from tpu_plonk.cs import Composer
+    from tpu_plonk.pcs import srs as srs_mod, kzg
+    from tpu_plonk.proof_system.preprocess import preprocess
+    from tpu_plonk.proof_system.prover import prove
+    from tpu_plonk.proof_system.verifier import verify
+    from tpu_plonk.utils.checkpoint import RoundCheckpoint
+
+    cs = Composer()
+    a = cs.add_input(6)
+    cs.mul(1, a, a, (-36) % R_MOD)
+    srs = srs_mod.cached_setup(cs.padded_size() + 8)
+    pk, vk = preprocess(cs, srs)
+
+    path = str(tmp_path / "prover.ckpt")
+    ck = RoundCheckpoint(path)
+    full = prove(cs, pk, srs, ckpt=ck)
+    assert ck.completed() == ["r1", "r2", "r3", "r5"]
+
+    # simulate a crash after round 2
+    ck2 = RoundCheckpoint(path)
+    del ck2.data["r3"]
+    del ck2.data["r5"]
+    checkpoint.save(path, ck2.data)
+
+    # resume: rounds 1-2 must load, not recompute (commit call count)
+    calls = {"n": 0}
+    orig_commit = kzg.commit
+
+    def counting(*args, **kw):
+        calls["n"] += 1
+        return orig_commit(*args, **kw)
+
+    kzg.commit = counting
+    try:
+        resumed = prove(cs, pk, srs, ckpt=RoundCheckpoint(path))
+    finally:
+        kzg.commit = orig_commit
+    # r3 re-commits 4 chunks (+2 aggregate openings go via open_aggregate
+    # -> kzg.commit): r1's 4 wire commits and r2's z commit must NOT run
+    assert calls["n"] == 6, calls["n"]
+    assert resumed.to_bytes() == full.to_bytes()
+    assert verify(resumed, vk, cs.pi, srs)

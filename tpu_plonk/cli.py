@@ -34,7 +34,14 @@ def cmd_demo(cfg):
     with met.timed("prove"):
         if cfg.engine == "device":
             from .proof_system.engine_device import prove_device
-            proof = prove_device(composer, pk, srs, metrics=met)
+            from .pcs.commit_device import DeviceCommitter
+            # device commits win above ~2^13 points (BASELINE.md)
+            commit_fn = None
+            if composer.padded_size() >= (1 << 13):
+                com = DeviceCommitter(srs, composer.padded_size(), c=4)
+                commit_fn = com.commit
+            proof = prove_device(composer, pk, srs, metrics=met,
+                                 commit_fn=commit_fn)
         else:
             proof = prove(composer, pk, srs)
     with met.timed("verify"):

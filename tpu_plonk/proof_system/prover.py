@@ -27,23 +27,37 @@ from .proof import Proof
 KS = (1, K1, K2, K3)
 
 
-def prove(composer, pk, srs, label: bytes = L.PROTOCOL) -> Proof:
+def prove(composer, pk, srs, label: bytes = L.PROTOCOL,
+          ckpt=None) -> Proof:
+    """5-round prover.  Optional `ckpt` (utils.checkpoint.RoundCheckpoint)
+    persists each round's outputs; on restart, completed rounds load
+    from disk and the transcript replays deterministically from the
+    cached commitments (SURVEY.md §5.4)."""
     n = pk.n
     dom = pk.domain
     ext = pk.ext_domain
+
+    def _memo(key, fn):
+        return fn() if ckpt is None else ckpt.memo(key, fn)
 
     t = Transcript(label)
     t.circuit_domain_sep(n)
 
     # ------------------------------------------------------ round 1
-    wire_vals = {w: [composer.witness[v] for v in pk.wire_vars[w]]
-                 for w in "abcd"}
-    wire_coeffs = {w: dom.intt(wire_vals[w]) for w in "abcd"}
-    comm = {}
-    comm["w_l"] = kzg.commit(wire_coeffs["a"], srs)
-    comm["w_r"] = kzg.commit(wire_coeffs["b"], srs)
-    comm["w_o"] = kzg.commit(wire_coeffs["c"], srs)
-    comm["w_4"] = kzg.commit(wire_coeffs["d"], srs)
+    def _round1():
+        wire_vals = {w: [composer.witness[v] for v in pk.wire_vars[w]]
+                     for w in "abcd"}
+        wire_coeffs = {w: dom.intt(wire_vals[w]) for w in "abcd"}
+        comms = {
+            "w_l": kzg.commit(wire_coeffs["a"], srs),
+            "w_r": kzg.commit(wire_coeffs["b"], srs),
+            "w_o": kzg.commit(wire_coeffs["c"], srs),
+            "w_4": kzg.commit(wire_coeffs["d"], srs),
+        }
+        return wire_vals, wire_coeffs, comms
+
+    wire_vals, wire_coeffs, r1_comms = _memo("r1", _round1)
+    comm = dict(r1_comms)
     for lbl, name in ((L.W_L, "w_l"), (L.W_R, "w_r"),
                       (L.W_O, "w_o"), (L.W_4, "w_4")):
         t.append_commitment(lbl, comm[name])
@@ -52,25 +66,31 @@ def prove(composer, pk, srs, label: bytes = L.PROTOCOL) -> Proof:
     gamma = t.challenge_scalar(L.GAMMA)
 
     # ------------------------------------------------------ round 2
-    sigma_evals = [dom.ntt(sc) for sc in pk.sigma_coeffs]
-    omegas = dom.elements()
-    nums, dens = [], []
-    for i in range(n):
-        num = den = 1
-        for j, w in enumerate("abcd"):
-            wv = wire_vals[w][i]
-            num = num * ((wv + beta * KS[j] * omegas[i] + gamma) % R_MOD) % R_MOD
-            den = den * ((wv + beta * sigma_evals[j][i] + gamma) % R_MOD) % R_MOD
-        nums.append(num)
-        dens.append(den)
-    den_invs = fr.batch_inv(dens)
-    z_vals = [1] * n
-    for i in range(n - 1):
-        z_vals[i + 1] = z_vals[i] * nums[i] % R_MOD * den_invs[i] % R_MOD
-    assert z_vals[-1] * nums[-1] % R_MOD * den_invs[-1] % R_MOD == 1, \
-        "grand product does not close (copy constraints violated)"
-    z_coeffs = dom.intt(z_vals)
-    comm["z"] = kzg.commit(z_coeffs, srs)
+    def _round2():
+        sigma_evals = [dom.ntt(sc) for sc in pk.sigma_coeffs]
+        omegas = dom.elements()
+        nums, dens = [], []
+        for i in range(n):
+            num = den = 1
+            for j, w in enumerate("abcd"):
+                wv = wire_vals[w][i]
+                num = num * ((wv + beta * KS[j] * omegas[i] + gamma)
+                             % R_MOD) % R_MOD
+                den = den * ((wv + beta * sigma_evals[j][i] + gamma)
+                             % R_MOD) % R_MOD
+            nums.append(num)
+            dens.append(den)
+        den_invs = fr.batch_inv(dens)
+        z_vals = [1] * n
+        for i in range(n - 1):
+            z_vals[i + 1] = z_vals[i] * nums[i] % R_MOD * den_invs[i] \
+                % R_MOD
+        assert z_vals[-1] * nums[-1] % R_MOD * den_invs[-1] % R_MOD == 1, \
+            "grand product does not close (copy constraints violated)"
+        z_coeffs = dom.intt(z_vals)
+        return z_coeffs, kzg.commit(z_coeffs, srs)
+
+    z_coeffs, comm["z"] = _memo("r2", _round2)
     t.append_commitment(L.Z, comm["z"])
     alpha = t.challenge_scalar(L.ALPHA)
     ch = {
@@ -81,40 +101,46 @@ def prove(composer, pk, srs, label: bytes = L.PROTOCOL) -> Proof:
     }
 
     # ------------------------------------------------------ round 3
-    ext_n = 4 * n
-    wire_ext = {w: ext.coset_ntt(wire_coeffs[w]) for w in "abcd"}
-    z_ext = ext.coset_ntt(z_coeffs)
-    pi_vec = [0] * n
-    for gi, val in composer.pi.items():
-        pi_vec[gi] = val
-    pi_ext = ext.coset_ntt(dom.intt(pi_vec))
+    def _round3():
+        ext_n = 4 * n
+        wire_ext = {w: ext.coset_ntt(wire_coeffs[w]) for w in "abcd"}
+        z_ext = ext.coset_ntt(z_coeffs)
+        pi_vec = [0] * n
+        for gi, val in composer.pi.items():
+            pi_vec[gi] = val
+        pi_ext = ext.coset_ntt(dom.intt(pi_vec))
 
-    alpha2 = alpha * alpha % R_MOD
-    t_evals = [0] * ext_n
-    for i in range(ext_n):
-        inx = (i + 4) % ext_n  # X*omega on the 4n coset
-        w = tuple(wire_ext[c][i] for c in "abcd")
-        wn = tuple(wire_ext[c][inx] for c in "abcd")
-        q = {name: pk.selector_ext[name][i] for name in pk.selector_ext}
-        gate = C.gate_value(w, wn, q, pi_ext[i], ch)
+        alpha2 = alpha * alpha % R_MOD
+        t_evals = [0] * ext_n
+        for i in range(ext_n):
+            inx = (i + 4) % ext_n  # X*omega on the 4n coset
+            w = tuple(wire_ext[c][i] for c in "abcd")
+            wn = tuple(wire_ext[c][inx] for c in "abcd")
+            q = {name: pk.selector_ext[name][i]
+                 for name in pk.selector_ext}
+            gate = C.gate_value(w, wn, q, pi_ext[i], ch)
 
-        x = pk.coset_points[i]
-        num = den = 1
-        for j in range(4):
-            num = num * ((w[j] + beta * KS[j] * x + gamma) % R_MOD) % R_MOD
-            den = den * ((w[j] + beta * pk.sigma_ext[j][i] + gamma) % R_MOD) \
-                % R_MOD
-        perm = (num * z_ext[i] - den * z_ext[inx]) % R_MOD
-        l1_term = pk.l1_ext[i] * ((z_ext[i] - 1) % R_MOD) % R_MOD
-        total = (gate + alpha * perm + alpha2 * l1_term) % R_MOD
-        t_evals[i] = total * pk.zh_inv_ext[i] % R_MOD
+            x = pk.coset_points[i]
+            num = den = 1
+            for j in range(4):
+                num = num * ((w[j] + beta * KS[j] * x + gamma) % R_MOD) \
+                    % R_MOD
+                den = den * ((w[j] + beta * pk.sigma_ext[j][i] + gamma)
+                             % R_MOD) % R_MOD
+            perm = (num * z_ext[i] - den * z_ext[inx]) % R_MOD
+            l1_term = pk.l1_ext[i] * ((z_ext[i] - 1) % R_MOD) % R_MOD
+            total = (gate + alpha * perm + alpha2 * l1_term) % R_MOD
+            t_evals[i] = total * pk.zh_inv_ext[i] % R_MOD
 
-    t_coeffs = ext.coset_intt(t_evals)
-    assert all(c == 0 for c in t_coeffs[4 * n - 3:]), \
-        "quotient degree overflow (constraint degree too high)"
-    chunks = [t_coeffs[k * n:(k + 1) * n] for k in range(4)]
+        t_coeffs = ext.coset_intt(t_evals)
+        assert all(c == 0 for c in t_coeffs[4 * n - 3:]), \
+            "quotient degree overflow (constraint degree too high)"
+        chunks = [t_coeffs[k * n:(k + 1) * n] for k in range(4)]
+        return chunks, [kzg.commit(ck, srs) for ck in chunks]
+
+    chunks, t_comms = _memo("r3", _round3)
     for k, lbl in enumerate((L.T_1, L.T_2, L.T_3, L.T_4)):
-        comm[f"t_{k + 1}"] = kzg.commit(chunks[k], srs)
+        comm[f"t_{k + 1}"] = t_comms[k]
         t.append_commitment(lbl, comm[f"t_{k + 1}"])
     zeta = t.challenge_scalar(L.ZETA)
 
@@ -154,10 +180,11 @@ def prove(composer, pk, srs, label: bytes = L.PROTOCOL) -> Proof:
         pk.selector_coeffs["q_arith"], pk.selector_coeffs["q_c"],
         pk.selector_coeffs["q_l"], pk.selector_coeffs["q_r"],
     ]
-    comm["w_z"] = kzg.open_aggregate(agg_zeta_polys, zeta, v, srs)
     agg_zw_polys = [z_coeffs, wire_coeffs["a"], wire_coeffs["b"],
                     wire_coeffs["c"], wire_coeffs["d"]]
-    comm["w_zw"] = kzg.open_aggregate(agg_zw_polys, zw, v, srs)
+    comm["w_z"], comm["w_zw"] = _memo("r5", lambda: (
+        kzg.open_aggregate(agg_zeta_polys, zeta, v, srs),
+        kzg.open_aggregate(agg_zw_polys, zw, v, srs)))
     t.append_commitment(L.W_Z, comm["w_z"])
     t.append_commitment(L.W_Z_W, comm["w_zw"])
 

@@ -41,3 +41,27 @@ def restore_transcript(state: dict):
     s.cur_flags = state["cur_flags"]
     t.strobe = s
     return t
+
+
+class RoundCheckpoint:
+    """Round-boundary memo for the prover (SURVEY.md §5.3/5.4: rounds
+    are the natural checkpoints; a failed run resumes from the last
+    completed round).  Usage: pass `ckpt=RoundCheckpoint(path)` to
+    prove(); each round's outputs are persisted after computing, and a
+    restart loads them instead of recomputing.  The transcript is NOT
+    stored — it replays deterministically from the cached commitments."""
+
+    def __init__(self, path: str):
+        self.path = path
+        self.data = load(path) if os.path.exists(path) else {}
+
+    def memo(self, key: str, fn):
+        if key in self.data:
+            return self.data[key]
+        value = fn()
+        self.data[key] = value
+        save(self.path, self.data)
+        return value
+
+    def completed(self):
+        return sorted(self.data)
