@@ -72,3 +72,20 @@ def test_poly_helpers():
     # check: quot * (X - z) + p(z) == p
     recon = poly.add(poly.mul(quot, [(-z) % R_MOD, 1]), [pz])
     assert poly.trim(recon) == poly.trim(p)
+
+
+def test_fr_dusk_op_surface():
+    from tpu_plonk.fields import fr
+    assert fr.reduce(R_MOD + 5) == 5
+    assert fr.divn(12, 2) == 3
+    assert fr.pow_of_2(10) == 1024
+    assert fr.pow_of_2(256) == pow(2, 256, R_MOD)
+
+
+def test_poly_mul_fft_matches_schoolbook():
+    p = [rng.randrange(R_MOD) for _ in range(100)]
+    q = [rng.randrange(R_MOD) for _ in range(77)]
+    assert poly.trim(poly.mul_fft(p, q)) == poly.trim(poly.mul(p, q))
+    assert poly.mul_fft([], q) == []
+    small = poly.mul_fft([1, 2], [3, 4])
+    assert small == [3, 10, 8]

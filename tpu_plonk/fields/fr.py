@@ -109,6 +109,24 @@ def sqrt(a: int):
     return r
 
 
+def reduce(a: int) -> int:
+    """Canonical form (dusk `BlsScalar::reduce`, used at reference
+    gadgets.rs:241)."""
+    return a % MOD
+
+
+def divn(a: int, k: int) -> int:
+    """Right-shift of the canonical form by k bits (dusk
+    `BlsScalar::divn`, reference gadgets.rs:245)."""
+    return (a % MOD) >> k
+
+
+def pow_of_2(k: int) -> int:
+    """2^k as a field element (dusk `BlsScalar::pow_of_2`,
+    reference gadgets.rs:254)."""
+    return pow(2, k, MOD)
+
+
 def bits_count(a: int) -> int:
     """Minimal bit length, matching reference gadgets.rs:240-248
     (bits_count(0) == bits_count(1) == 1)."""

@@ -43,6 +43,26 @@ def mul(p, q):
     return out
 
 
+def mul_fft(p, q):
+    """Product via NTT over a large-enough domain (the dusk
+    `Polynomial` multiply path, SURVEY.md §2.6); falls back to
+    schoolbook below the crossover."""
+    if not p or not q:
+        return []
+    out_len = len(p) + len(q) - 1
+    if out_len <= 64:
+        return mul(p, q)
+    from .domain import Domain
+    size = 1
+    while size < out_len:
+        size <<= 1
+    d = Domain(size)
+    pe = d.ntt(list(p))
+    qe = d.ntt(list(q))
+    prod = [a * b % R_MOD for a, b in zip(pe, qe)]
+    return trim(d.intt(prod))[:out_len]
+
+
 def evaluate(p, x: int) -> int:
     acc = 0
     for c in reversed(p):
