@@ -37,6 +37,68 @@ def test_bad_g1_encodings_rejected():
     assert g2.from_bytes(g2.to_bytes(None)) is None
 
 
+def test_g1_subgroup_and_canonicity_rejected():
+    from tpu_plonk.fields import fp
+    # on-curve point outside the r-torsion subgroup (x=4 works): must be
+    # rejected by default, accepted with check_subgroup=False
+    x = 4
+    y = fp.sqrt((x * x * x + 4) % P_MOD)
+    assert y is not None
+    enc = bytearray(x.to_bytes(48, "big"))
+    enc[0] |= 0b1000_0000
+    if fp.sgn0(y):
+        enc[0] |= 0b0010_0000
+    with pytest.raises(ValueError):
+        g1.from_bytes(bytes(enc))
+    p = g1.from_bytes(bytes(enc), check_subgroup=False)
+    assert g1.is_on_curve(p) and not g1.is_torsion_free(p)
+    # non-canonical x (= p, the unreduced encoding of x=0) must be
+    # rejected even though x=0 is on-curve (y^2 = 4)
+    enc = bytearray(P_MOD.to_bytes(48, "big"))
+    enc[0] |= 0b1000_0000
+    with pytest.raises(ValueError):
+        g1.from_bytes(bytes(enc))
+    # infinity with nonzero payload bits must be rejected
+    enc = bytearray(48)
+    enc[0] = 0b1100_0000
+    enc[47] = 1
+    with pytest.raises(ValueError):
+        g1.from_bytes(bytes(enc))
+    enc = bytearray(48)
+    enc[0] = 0b1110_0000  # sort bit set under infinity
+    with pytest.raises(ValueError):
+        g1.from_bytes(bytes(enc))
+    # generator round-trips through the full checks
+    assert g1.from_bytes(g1.to_bytes(g1.GEN)) == g1.GEN
+    assert g2.from_bytes(g2.to_bytes(g2.GEN)) == g2.GEN
+
+
+def test_endomorphism_constants_derivation():
+    """Re-derive BETA_ENDO / PSI_X / PSI_Y from first principles."""
+    from tpu_plonk.fields import fp
+    # beta: root of x^2+x+1 with phi(G) == -[T^2]G
+    s = fp.sqrt((-3) % P_MOD)
+    inv2 = pow(2, -1, P_MOD)
+    roots = {(-1 + s) * inv2 % P_MOD, (-1 - s) * inv2 % P_MOD}
+    assert g1.BETA_ENDO in roots
+    assert pow(g1.BETA_ENDO, 3, P_MOD) == 1 and g1.BETA_ENDO != 1
+    assert g1.is_torsion_free(g1.GEN)
+    assert g1.is_torsion_free(g1.mul(g1.GEN, 123456789))
+    # psi constants: (u+1)^-((p-1)/3), (u+1)^-((p-1)/2)
+    def f2_pow(a, e):
+        r = fp.F2_ONE
+        while e:
+            if e & 1:
+                r = fp.f2_mul(r, a)
+            a = fp.f2_sqr(a)
+            e >>= 1
+        return r
+    assert g2.PSI_X == fp.f2_inv(f2_pow((1, 1), (P_MOD - 1) // 3))
+    assert g2.PSI_Y == fp.f2_inv(f2_pow((1, 1), (P_MOD - 1) // 2))
+    assert g2.is_torsion_free(g2.GEN)
+    assert g2.is_torsion_free(g2.mul(g2.GEN, 987654321))
+
+
 def test_bad_jubjub_encoding_rejected():
     # y >= r is non-canonical
     with pytest.raises(ValueError):
@@ -53,7 +115,7 @@ def test_bad_jubjub_encoding_rejected():
 
 
 def test_bad_proof_length_rejected():
-    with pytest.raises(AssertionError):
+    with pytest.raises(ValueError):
         Proof.from_bytes(b"\x00" * (PROOF_SIZE - 1))
     with pytest.raises(ValueError):
         # right length, garbage commitments

@@ -12,6 +12,21 @@ GEN = (G2_GEN_X, G2_GEN_Y)
 INF = None
 B2 = fp.f2_mul_by_nonresidue((4, 0))  # 4(u+1)
 
+# psi = untwist o Frobenius o twist endomorphism constants:
+# psi(x, y) = (PSI_X * frob(x), PSI_Y * frob(y)) with
+# PSI_X = (u+1)^-((p-1)/3), PSI_Y = (u+1)^-((p-1)/2).  A curve point is
+# in the prime-order subgroup iff psi(P) == [z]P (z = -BLS_T); this is
+# the zkcrypto G2 `is_torsion_free` check.  Re-derived in tests.
+BLS_T = 0xD201000000010000
+PSI_X = (0, int(
+    "4002409555221667392624310435006688643935503118305586438271171395842"
+    "971157480381377015405980053539358417135540939437"))
+PSI_Y = (int(
+    "2973677408986561043442465346520108879172042883009249989176415018091"
+    "420807192182638567116318576472649347015917690530"), int(
+    "1028732146235106349975324479215795277384839936929757896155643118032"
+    "610843298655225875571310552543014690878354869257"))
+
 
 def is_on_curve(p):
     if p is None:
@@ -73,15 +88,47 @@ def to_bytes(p) -> bytes:
     return bytes(b)
 
 
-def from_bytes(b: bytes):
-    assert len(b) == 96
+def _frob(a):
+    return (a[0], (-a[1]) % P_MOD)
+
+
+def is_torsion_free(p) -> bool:
+    """Prime-subgroup membership via psi(P) == [z]P == -[BLS_T]P."""
+    if p is None:
+        return True
+    psi_p = (fp.f2_mul(_frob(p[0]), PSI_X), fp.f2_mul(_frob(p[1]), PSI_Y))
+    return psi_p == neg(mul_abs(p, BLS_T))
+
+
+def mul_abs(p, k: int):
+    """[k]P for a plain non-negative integer k (no mod-r reduction —
+    subgroup checks must multiply by the raw parameter)."""
+    r = None
+    while k:
+        if k & 1:
+            r = add(r, p)
+        p = add(p, p)
+        k >>= 1
+    return r
+
+
+def from_bytes(b: bytes, check_subgroup: bool = True):
+    """Strict compressed decoding (same validations as g1.from_bytes:
+    length, flags, canonical c0/c1 < p, zero infinity payload, on-curve,
+    prime-subgroup by default)."""
+    if len(b) != 96:
+        raise ValueError("G2 encoding must be 96 bytes")
     flags = b[0]
     if not flags & 0b1000_0000:
         raise ValueError("only compressed G2 encodings supported")
     if flags & 0b0100_0000:
+        if (flags & 0b0011_1111) or any(b[1:]):
+            raise ValueError("nonzero payload bits in G2 infinity encoding")
         return None
     c1 = int.from_bytes(bytes([flags & 0b0001_1111]) + b[1:48], "big")
     c0 = int.from_bytes(b[48:96], "big")
+    if c0 >= P_MOD or c1 >= P_MOD:
+        raise ValueError("non-canonical G2 x coordinate")
     x = (c0, c1)
     rhs = fp.f2_add(fp.f2_mul(fp.f2_sqr(x), x), B2)
     y = _f2_sqrt(rhs)
@@ -91,7 +138,10 @@ def from_bytes(b: bytes):
     y_sign = int((y[1], y[0]) > (neg_y[1], neg_y[0]))
     if y_sign != ((flags >> 5) & 1):
         y = neg_y
-    return (x, y)
+    p = (x, y)
+    if check_subgroup and not is_torsion_free(p):
+        raise ValueError("G2 point not in prime-order subgroup")
+    return p
 
 
 def _f2_sqrt(a):

@@ -7,8 +7,10 @@ via `from_bytes`/`to_bytes` (dusk-bytes-style layout: 8-byte LE count,
 48-byte compressed G1 powers, two 96-byte compressed G2 points).
 
 G1 powers are generated with an incremental double-and-add over the
-bits of tau^i (host, cached to disk); the TPU batch generator in
-pcs/msm_device.py takes over for large degrees.
+bits of tau^i (host, cached to disk via `cached_setup`).  The pickle
+cache under .cache/ is a TRUSTED local artifact (pickle executes code on
+load); external/ceremony SRS data must come through `from_bytes`, which
+fully validates every point.
 """
 
 import hashlib
@@ -43,6 +45,8 @@ class SRS:
     @staticmethod
     def from_bytes(data: bytes) -> "SRS":
         count = int.from_bytes(data[:8], "little")
+        if len(data) != 8 + 48 * count + 192:
+            raise ValueError("bad SRS length")
         off = 8
         powers = []
         for _ in range(count):

@@ -39,7 +39,9 @@ class Proof:
 
     @staticmethod
     def from_bytes(data: bytes) -> "Proof":
-        assert len(data) == PROOF_SIZE, "bad proof length"
+        # untrusted input: never use assert (stripped under -O)
+        if len(data) != PROOF_SIZE:
+            raise ValueError("bad proof length")
         comms, off = {}, 0
         for n in COMMITMENT_NAMES:
             comms[n] = g1.from_bytes(data[off:off + 48])

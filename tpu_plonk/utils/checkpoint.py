@@ -6,6 +6,11 @@ Everything in the host prover state is plain python (ints, lists,
 dicts, bytearray strobe state), so pickle round-trips exactly; the
 transcript is the only stateful object and serializes via its strobe
 bytes + positions.
+
+SECURITY: checkpoint files are TRUSTED local artifacts — pickle.load
+executes code, so checkpoint paths must point at files this process (or
+an equally trusted one) wrote.  Untrusted inputs (proofs, keys, SRS)
+have their own validating codecs and never go through this module.
 """
 
 import os
