@@ -10,7 +10,7 @@ import jax.numpy as jnp
 from tpu_plonk.params import R_MOD, FR_MONT_R
 from tpu_plonk.fields import limbs
 from tpu_plonk.curves import g1, device_g1 as dg1
-from tpu_plonk.pcs import msm as hostmsm, msm_device
+from tpu_plonk.pcs import msm as hostmsm
 from tpu_plonk.poly.domain import Domain
 from tpu_plonk.dist import mesh as meshmod
 from tpu_plonk.dist.msm_sharded import msm_sharded
@@ -24,18 +24,15 @@ def test_eight_virtual_devices():
 
 
 def test_sharded_msm_matches_host():
-    n = 32  # divisible by 8 devices
+    n = 37  # NOT divisible by 8: exercises shard padding
     pts = [g1.mul(g1.GEN, rng.randrange(1, 2**48)) for _ in range(n)]
-    # 32-bit scalars -> 4 windows: full pipeline coverage at a compile
-    # cost the 4-core CI box can afford
+    # 32-bit scalars -> 5 signed windows: full pipeline coverage at a
+    # compile cost the 4-core CI box can afford
     scalars = [rng.randrange(2**32) for _ in range(n)]
     want = hostmsm.msm(pts, scalars)
 
     mesh = meshmod.make_mesh()
-    pts_dev = dg1.points_to_device(pts)
-    digits = msm_device.window_digits(scalars, 8, 4)
-    out = msm_sharded(mesh, pts_dev, digits, c=8)
-    got = dg1.points_from_device(tuple(x[None] for x in out))[0]
+    got = msm_sharded(mesh, pts, scalars, c=8, n_windows=4)
     assert got == want
 
 

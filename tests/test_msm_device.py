@@ -1,4 +1,4 @@
-"""Device G1 ops and TPU Pippenger vs host oracle."""
+"""Device G1 ops and the chunked-CSR TPU Pippenger vs host oracle."""
 
 import random
 
@@ -7,8 +7,9 @@ import jax.numpy as jnp
 
 from tpu_plonk.params import R_MOD
 from tpu_plonk.curves import g1, device_g1 as dg1
+from tpu_plonk.fields import limbs
 from tpu_plonk.pcs import msm as hostmsm
-from tpu_plonk.pcs import msm_device
+from tpu_plonk.pcs import msm_csr
 
 rng = random.Random(0xD57)
 
@@ -47,6 +48,45 @@ def test_device_roundtrip():
     assert dg1.points_from_device(dg1.points_to_device(pts)) == pts
 
 
+def test_signed_digit_recode_roundtrip():
+    scalars = [rng.randrange(R_MOD) for _ in range(50)] + [0, 1, R_MOD - 1]
+    canon = np.asarray(limbs.ints_to_limbs(scalars, 16))
+    for c in (8, 12, 13):
+        sd = msm_csr.recode_signed(msm_csr.limbs_to_digits(canon, c), c)
+        half = 1 << (c - 1)
+        assert sd.max() <= half and sd.min() >= -half + 1
+        assert sd.shape[0] <= msm_csr.signed_window_count(c)
+        for i in (0, 25, len(scalars) - 1):
+            v = sum(int(sd[w, i]) * (1 << (c * w))
+                    for w in range(sd.shape[0]))
+            assert v == scalars[i]
+
+
+def test_chunked_csr_structure():
+    """Every nonzero digit appears exactly once in the right bucket with
+    the right sign; level-1 rows referenced at most once."""
+    scalars = [rng.randrange(2**40) for _ in range(64)]
+    canon = np.asarray(limbs.ints_to_limbs(scalars, 16))
+    sd = msm_csr.recode_signed(msm_csr.limbs_to_digits(canon, 8, 5), 8)
+    l1, l2 = msm_csr.build_csr(sd, 8, chunk=2)  # tiny chunk -> multi-row
+    seen = {}
+    for w in range(l2.shape[0]):
+        for b in range(l2.shape[1]):
+            for rid in l2[w, b]:
+                if rid == 0:
+                    continue
+                for e in l1[rid - 1]:
+                    if e == 0:
+                        continue
+                    i = abs(int(e)) - 1
+                    assert sd[w, i] == (-(b + 1) if e < 0 else b + 1)
+                    seen[(w, i)] = seen.get((w, i), 0) + 1
+    assert sum(seen.values()) == int((sd != 0).sum())
+    assert all(v == 1 for v in seen.values())
+    refs = l2[l2 > 0]
+    assert len(refs) == len(set(refs.tolist()))
+
+
 def test_msm_device_matches_host():
     n = 64
     pts = _points(n)
@@ -55,15 +95,16 @@ def test_msm_device_matches_host():
     scalars[0] = 0
     scalars[1] = 1
     want = hostmsm.msm(pts, scalars)
-    got = msm_device.msm(pts, scalars, c=8, n_windows=5)
+    got = msm_csr.msm(pts, scalars, c=8, n_windows=5)
     assert got == want
 
 
 def test_msm_device_duplicate_digits():
-    # all-equal scalars stress the segmented scan (single segment)
+    # all-equal scalars: every point lands in the same bucket per
+    # window (maximal skew -> the chunk/level-2 path does the work)
     n = 16
     pts = _points(n)
     scalars = [12345] * n
     want = hostmsm.msm(pts, scalars)
-    got = msm_device.msm(pts, scalars, c=8, n_windows=5)
+    got = msm_csr.msm(pts, scalars, c=8, n_windows=5)
     assert got == want

@@ -57,7 +57,7 @@ def test_cli_demo_subprocess():
     assert out.returncode == 0, out.stderr[-500:]
     payload = json.loads(out.stdout.strip().splitlines()[-1])
     assert payload["verified"] is True
-    assert payload["proof_bytes"] == 1072
+    assert payload["proof_bytes"] == 1040
 
 
 def test_prover_round_checkpoint_resume(tmp_path):

@@ -208,35 +208,38 @@ class Composer:
         return var
 
     # ------------------------------------------------------------------
-    # logic widget (q_logic): 1-bit chunks, accumulators in a/b/d,
-    # bit product in c_next; q_c selects XOR (1) vs AND (0)
+    # logic widget (q_logic): 2-bit quads, accumulators in a/b/d, quad
+    # product in the CURRENT row's c; q_c selects XOR (1) vs AND (0).
+    # num_bits/2 widget rows + 1 carrier (the dusk gate-count shape).
     # ------------------------------------------------------------------
 
     def _logic_gate(self, a_var: int, b_var: int, num_bits: int,
                     is_xor: bool) -> int:
-        assert num_bits > 0
-        n_chunks = num_bits
+        assert num_bits > 0 and num_bits % 2 == 0, \
+            "logic gates work on 2-bit quads: num_bits must be even"
+        n_quads = num_bits // 2
         av, bv = self.witness[a_var], self.witness[b_var]
         assert av < (1 << num_bits) and bv < (1 << num_bits), \
             "logic gate inputs out of range"
         op = (lambda x, y: x ^ y) if is_xor else (lambda x, y: x & y)
-        a_accs, b_accs, d_accs, prods = [0], [0], [0], [0]
-        for i in range(n_chunks):
-            sh = n_chunks - 1 - i
-            ca, cb = (av >> sh) & 1, (bv >> sh) & 1
-            a_accs.append(a_accs[-1] * 2 + ca)
-            b_accs.append(b_accs[-1] * 2 + cb)
-            d_accs.append(d_accs[-1] * 2 + op(ca, cb))
-            prods.append(ca * cb)
+        a_accs, b_accs, d_accs, prods = [0], [0], [0], []
+        for i in range(n_quads):
+            sh = 2 * (n_quads - 1 - i)
+            qa, qb = (av >> sh) & 3, (bv >> sh) & 3
+            a_accs.append(a_accs[-1] * 4 + qa)
+            b_accs.append(b_accs[-1] * 4 + qb)
+            d_accs.append(d_accs[-1] * 4 + op(qa, qb))
+            prods.append(qa * qb)
         a_vars = [self.zero_var] + [self.add_input(v) for v in a_accs[1:]]
         b_vars = [self.zero_var] + [self.add_input(v) for v in b_accs[1:]]
         d_vars = [self.zero_var] + [self.add_input(v) for v in d_accs[1:]]
-        c_vars = [self.zero_var] + [self.add_input(v) for v in prods[1:]]
-        for i in range(n_chunks):
+        w_vars = [self.add_input(v) for v in prods]
+        for i in range(n_quads):
+            # row i: accumulators BEFORE quad i; c = quad product w_i
             self._gate({"q_logic": 1, "q_c": 1 if is_xor else 0},
-                       a=a_vars[i], b=b_vars[i], c=c_vars[i], d=d_vars[i])
+                       a=a_vars[i], b=b_vars[i], c=w_vars[i], d=d_vars[i])
         # carrier row holding the final accumulators
-        self._gate({}, a=a_vars[-1], b=b_vars[-1], c=c_vars[-1],
+        self._gate({}, a=a_vars[-1], b=b_vars[-1], c=self.zero_var,
                    d=d_vars[-1])
         self.assert_equal(a_vars[-1], a_var)
         self.assert_equal(b_vars[-1], b_var)

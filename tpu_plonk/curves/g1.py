@@ -5,7 +5,7 @@ Serialization follows the zkcrypto/dusk 48-byte compressed convention
 (big-endian x, flag bits in the top byte) so that SRS / verifier keys /
 proofs can round-trip against dusk-bytes layouts (SURVEY.md §2.9).
 
-The bulk MSM lives in pcs/msm.py (host Pippenger) and pcs/msm_device.py
+The bulk MSM lives in pcs/msm.py (host Pippenger) and pcs/msm_csr.py
 (TPU limb kernels); this module is the scalar/one-off path.
 """
 

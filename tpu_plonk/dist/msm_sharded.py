@@ -1,59 +1,176 @@
-"""Multi-chip MSM: points+digits sharded per device; each device runs
-bucket accumulation + weighted window sums over its shard (pure local
-compute inside shard_map — no collectives, which keeps the SPMD
-partitioner out of the EC scan graphs); the per-device (W,) window sums
-are then combined with a log-depth EC tree + window fold in a plain
-single-device jit (O(D*W) points — negligible traffic).
-SURVEY.md §2.10 "Data-parallel MSM".
+"""Multi-chip MSM (SURVEY.md §2.10 "Data-parallel MSM"): points +
+digit lists sharded per device; each device runs the chunked-CSR
+gather-accumulate pipeline (pcs/msm_csr.py) over its point shard —
+pure local compute inside shard_map, no collectives, which keeps the
+SPMD partitioner out of the EC loop graphs — and the per-device
+(W, 3, 24) window sums are EC-combined and Horner-folded on the host
+(O(D*W) points, negligible).
+
+EC addition is exact and associative, so the sharded result is
+bit-identical to the single-chip kernel and to the host oracle — the
+property the 1-dev vs 8-dev proof-byte tests pin down.
 """
 
 import functools
 
+import numpy as np
 import jax
 import jax.numpy as jnp
-from jax.sharding import PartitionSpec as P
+from jax.sharding import NamedSharding, PartitionSpec as P
 
-from ..curves import device_g1 as dg1
-from ..pcs import msm_device
-
-
-@functools.partial(jax.jit, static_argnames=("c",))
-def _combine_and_fold(gathered, c: int):
-    """gathered: tuple of (D, W, 24) window sums -> folded MSM result."""
-    acc = gathered
-    d = acc[0].shape[0]
-    while d > 1:
-        half = d // 2
-        lo = tuple(x[:half] for x in acc)
-        hi = tuple(x[half: 2 * half] for x in acc)
-        merged = dg1.add(lo, hi)
-        if d % 2:
-            merged = tuple(
-                jnp.concatenate([m, x[2 * half:]]) for m, x in
-                zip(merged, acc))
-            d = half + 1
-        else:
-            d = half
-        acc = merged
-    window_sums = tuple(x[0] for x in acc)
-    return msm_device._fold_windows(window_sums, c)
+from ..params import R_MOD
+from ..fields import limbs
+from ..fields import device as dev
+from ..curves import g1
+from ..pcs import msm_csr
 
 
-def msm_sharded(mesh, points_dev, digits, c: int = 8, axis: str = "shard"):
-    """Full sharded MSM; returns a projective limb point (tuple of
-    (24,) arrays).  digits: (W, N) int32, N sharded over the mesh."""
+def _shard_csr(sdigits, c: int, n_shards: int, chunk: int = None):
+    """Split (W, N) signed digits column-wise into `n_shards` equal
+    shards (N must divide evenly; pad scalars first) and build one CSR
+    per shard, padded to common (R, chunk) / (W, B, M2) shapes."""
+    W, n = sdigits.shape
+    assert n % n_shards == 0
+    ns = n // n_shards
+    if chunk is None:
+        chunk = msm_csr.default_chunk(ns, c)
+    csrs = [msm_csr.build_csr(sdigits[:, d * ns:(d + 1) * ns], c,
+                              chunk=chunk)
+            for d in range(n_shards)]
+    R = max(l1.shape[0] for l1, _ in csrs)
+    M2 = max(l2.shape[2] for _, l2 in csrs)
+    l1s, l2s = [], []
+    for l1, l2 in csrs:
+        l1s.append(np.pad(l1, ((0, R - l1.shape[0]), (0, 0))))
+        l2s.append(np.pad(l2, ((0, 0), (0, 0), (0, M2 - l2.shape[2]))))
+    return np.stack(l1s), np.stack(l2s)
 
+
+def shard_points(mesh, points, axis: str = "shard"):
+    """Affine host points -> (D, Ns+1, 3, 24) packed device shards
+    (row 0 of each shard = identity, the CSR padding target), sharded
+    over the mesh axis.  Returns (packed, padded_total)."""
+    d = mesh.shape[axis]
+    n = len(points)
+    ns = -(-n // d)
+    total = ns * d
+    pts = list(points) + [None] * (total - n)
+    shards = [np.asarray(msm_csr.pack_points(pts[i * ns:(i + 1) * ns]))
+              for i in range(d)]
+    arr = np.stack(shards)
+    sharding = NamedSharding(mesh, P(axis))
+    return jax.device_put(arr, sharding), total
+
+
+@functools.lru_cache(maxsize=None)
+def _sharded_runner(mesh, c: int, axis: str):
+    """shard_map program: local chunked-CSR window sums per device."""
+
+    @jax.jit
     @functools.partial(
         jax.shard_map, mesh=mesh,
-        in_specs=(P(axis), P(axis), P(axis), P(None, axis)),
-        out_specs=tuple([P(axis, None, None)] * 3),
+        in_specs=(P(axis), P(axis), P(axis)),
+        out_specs=P(axis),
         check_vma=False,
     )
-    def local_sums(px, py, pz, dg):
-        sums = msm_device.window_sums_scan((px, py, pz), dg, c)
-        # leading singleton axis becomes the device axis globally
-        return tuple(x[None] for x in sums)
+    def run(pts, l1, l2):
+        # local blocks carry a leading singleton device axis
+        s = msm_csr.window_sums_impl(pts[0], l1[0], l2[0], c)
+        return s[None]
 
-    gathered = local_sums(points_dev[0], points_dev[1], points_dev[2],
-                          jnp.asarray(digits))
-    return _combine_and_fold(gathered, c)
+    return run
+
+
+def shard_csr_from_limbs(canon, c: int, n_shards: int, n_windows: int):
+    """(N, 16) canonical limbs (N divisible by n_shards) -> stacked
+    per-shard CSR tensors with common shapes (native C builder when
+    available)."""
+    n = canon.shape[0]
+    assert n % n_shards == 0
+    ns = n // n_shards
+    chunk = msm_csr.default_chunk(ns, c)
+    csrs = [msm_csr.csr_from_limbs(canon[d * ns:(d + 1) * ns], c,
+                                   n_windows, chunk)
+            for d in range(n_shards)]
+    R = max(l1.shape[0] for l1, _ in csrs)
+    M2 = max(l2.shape[2] for _, l2 in csrs)
+    l1s, l2s = [], []
+    for l1, l2 in csrs:
+        l1s.append(np.pad(l1, ((0, R - l1.shape[0]), (0, 0))))
+        l2s.append(np.pad(l2, ((0, 0), (0, 0), (0, M2 - l2.shape[2]))))
+    return np.stack(l1s), np.stack(l2s)
+
+
+def window_sums_from_csr(mesh, points_packed, l1, l2, c: int,
+                         axis: str = "shard"):
+    """Stacked per-shard CSR -> per-window affine sums (host list)."""
+    d = mesh.shape[axis]
+    sharding = NamedSharding(mesh, P(axis))
+    l1d = jax.device_put(l1, sharding)
+    l2d = jax.device_put(l2, sharding)
+    sums = _sharded_runner(mesh, c, axis)(points_packed, l1d, l2d)
+    w = sums.shape[1]
+    flat = msm_csr.sums_to_host(sums.reshape(d * w, 3, 24))
+    out = []
+    for wi in range(w):
+        acc = None
+        for di in range(d):
+            acc = g1.add(acc, flat[di * w + wi])
+        out.append(acc)
+    return out
+
+
+def window_sums_sharded(mesh, points_packed, sdigits, c: int,
+                        axis: str = "shard"):
+    """(D, Ns+1, 3, 24) packed shards + (W, N_padded) signed digits ->
+    per-device window sums pulled to host, EC-combined: list of W
+    affine points."""
+    l1, l2 = _shard_csr(sdigits, c, mesh.shape[axis])
+    return window_sums_from_csr(mesh, points_packed, l1, l2, c, axis)
+
+
+def msm_sharded(mesh, points, scalars, c: int = 12, n_windows: int = None,
+                axis: str = "shard"):
+    """Host-facing sharded MSM: affine points + int scalars -> affine
+    point, computed across the mesh."""
+    packed, total = shard_points(mesh, points, axis)
+    sc = [int(s) % R_MOD for s in scalars]
+    sc += [0] * (total - len(sc))
+    canon = np.asarray(limbs.ints_to_limbs(sc, 16))
+    sd = msm_csr.recode_signed(
+        msm_csr.limbs_to_digits(canon, c, n_windows), c)
+    sums = window_sums_sharded(mesh, packed, sd, c, axis)
+    return msm_csr.fold_windows_host(sums, c)
+
+
+class ShardedCommitter:
+    """KZG commitments over the device mesh: SRS G1 powers resident,
+    sharded once; `commit` takes Montgomery coefficient limb arrays
+    (the device engine's native form) and returns the affine G1
+    commitment.  Drop-in for DeviceCommitter when a mesh is in play
+    (proof_system/engine_device.py `prove_device(mesh=...)`)."""
+
+    def __init__(self, mesh, srs, max_len: int, c: int = 12,
+                 axis: str = "shard"):
+        if max_len > len(srs.powers_g1):
+            raise ValueError("SRS too small for committed length")
+        self.mesh = mesh
+        self.c = c
+        self.axis = axis
+        self.points, self.total = shard_points(
+            mesh, srs.powers_g1[:max_len], axis)
+        self.max_len = max_len
+        self.n_windows = msm_csr.signed_window_count(c)
+
+    def commit(self, coeffs_mont):
+        n = coeffs_mont.shape[0]
+        if n > self.max_len:
+            raise ValueError("polynomial exceeds committed SRS")
+        canon = np.asarray(dev.from_mont(coeffs_mont, dev.FR))
+        canon = np.pad(canon, ((0, self.total - n), (0, 0)))
+        l1, l2 = shard_csr_from_limbs(canon, self.c,
+                                      self.mesh.shape[self.axis],
+                                      self.n_windows)
+        sums = window_sums_from_csr(self.mesh, self.points, l1, l2,
+                                    self.c, self.axis)
+        return msm_csr.fold_windows_host(sums, self.c)

@@ -88,3 +88,16 @@ def ntt_sharded(mesh, x, log_n: int, inverse: bool = False,
         return ct.reshape(-1, 16)
 
     return run(x.reshape(n, 16), tw)
+
+
+def coset_ntt_sharded(mesh, x, log_n: int, axis: str = "shard"):
+    """Sharded analog of poly/ntt.py coset_ntt: evaluations over g*H."""
+    powers = jnp.asarray(nttmod._coset_powers(log_n, False))
+    return ntt_sharded(mesh, dev.mont_mul(x, powers, dev.FR), log_n,
+                       axis=axis)
+
+
+def coset_intt_sharded(mesh, x, log_n: int, axis: str = "shard"):
+    powers = jnp.asarray(nttmod._coset_powers(log_n, True))
+    y = ntt_sharded(mesh, x, log_n, inverse=True, axis=axis)
+    return dev.mont_mul(y, powers, dev.FR)

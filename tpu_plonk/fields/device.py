@@ -9,10 +9,10 @@ control flow anywhere.
 A `FieldCtx` bundles the per-field constants; `FR` (16 limbs) drives the
 NTT / polynomial layer and `FP` (24 limbs) drives the G1 MSM kernels.
 
-Montgomery multiplication = Comba column sums computed as one exact-f32
-MXU matmul against a constant anti-diagonal matrix, followed by REDC;
-carry/borrow propagation is log-depth Kogge-Stone.  ~3*L^2 limb MACs
-per field multiply, MXU for the products, VPU for the carries.
+Montgomery multiplication = Comba column sums via fused shift-and-MAC
+on the VPU (see _comba_matmul for why not an MXU matmul), followed by
+REDC; carry/borrow propagation is log-depth Kogge-Stone.  ~3*L^2 limb
+MACs per field multiply, intermediates never touch HBM.
 """
 
 import dataclasses
@@ -127,50 +127,47 @@ def is_zero(a):
 # Montgomery multiplication (Comba + separated REDC)
 # ---------------------------------------------------------------------------
 
-@functools.lru_cache(maxsize=None)
-def _antidiag_mats(L: int, n_out: int):
-    """Constant 0/1 matrices mapping flattened (i,j) limb-product pairs
-    to output columns: lo parts land on column i+j, hi parts on i+j+1.
-    Used as f32 matmul operands — the Comba column reduction becomes an
-    MXU contraction, which both shrinks the HLO trace ~20x and moves
-    the inner loop of every field multiply onto the systolic array.
-    Exactness: <=2L terms of <2^16 each -> sums < 2^21 < 2^24 (f32)."""
-    m_lo = np.zeros((L * L, n_out), dtype=np.float32)
-    m_hi = np.zeros((L * L, n_out), dtype=np.float32)
-    for i in range(L):
-        for j in range(L):
-            if i + j < n_out:
-                m_lo[i * L + j, i + j] = 1.0
-            if i + j + 1 < n_out:
-                m_hi[i * L + j, i + j + 1] = 1.0
-    return m_lo, m_hi
-
-
 def _comba_matmul(a, b, n_out=None):
-    """Column sums of the schoolbook product of (..., L) limb arrays via
-    one u32 outer product + two f32 matmuls.  Returns (..., n_out) u32
-    columns, each < 2^21 (pre-carry)."""
+    """Column sums of the schoolbook product of (..., L) limb arrays.
+    Returns (..., n_out) u32 columns, each < 2^22 (pre-carry).
+
+    Round-2 formulation: shift-and-MAC on the VPU.  The round-1 version
+    materialized the (..., L, L) u32 outer product plus two f32 copies
+    and pushed them through an antidiagonal 0/1 matmul — ~56 KB of HBM
+    traffic per Fp multiply, which profiling showed made the MSM
+    bucket-accumulate step HBM-bound ~15x off peak.  Here column sums
+    accumulate as L fused elementwise multiply-adds of statically
+    shifted slices (XLA fuses the whole chain; nothing quadratic is
+    materialized), so traffic is ~3 limb vectors per multiply.
+
+    Exactness: u32 products a_i*b_j would overflow 32 bits, so b is
+    split into 8-bit halves: each term a_i*b8 < 2^24, summed over <= L
+    (<= 24) terms < 2^28.6 — exact in u32.  The two accumulators are
+    then re-split so every final column is < 2^22, within
+    _carry_array's < 2^26 input contract:
+      T_k = lo_k + 2^8 hi_k = (u_k + 2^8 p_k) + 2^16 (v_k + q_k)
+    with u = lo & 0xffff, v = lo >> 16, p = hi & 0xff, q = hi >> 8; the
+    (v + q) part carries into column k+1."""
     L = a.shape[-1]
     if n_out is None:
         n_out = 2 * L
-    m_lo, m_hi = _antidiag_mats(L, n_out)
-    prod = a[..., :, None] * b[..., None, :]          # u32, exact
-    lo = (prod & LIMB_MASK).astype(jnp.float32)
-    hi = (prod >> LIMB_BITS).astype(jnp.float32)
-    flat_shape = a.shape[:-1] + (L * L,)
-    # Single fused dot: [lo | hi] @ [[M_lo],[M_hi]].  One dot per
-    # product matters — XLA compile time scales badly with dot count.
-    # Raised precision is load-bearing on TPU: the default f32 matmul
-    # runs as single-pass bf16 MXU, which silently corrupts >8-bit limb
-    # values.  HIGH (bf16x3) reconstructs f32 multiplies exactly and is
-    # ~2x cheaper than HIGHEST (bf16x6); verified bit-exact on TPU v5e
-    # for both Fr and Fp operand ranges (< 2^24 sums).
-    lohi = jnp.concatenate([lo.reshape(flat_shape),
-                            hi.reshape(flat_shape)], axis=-1)
-    mat = jnp.asarray(np.concatenate([m_lo, m_hi], axis=0))
-    cols = jnp.matmul(lohi, mat, preferred_element_type=jnp.float32,
-                      precision=jax.lax.Precision.HIGH)
-    return cols.astype(jnp.uint32)
+    b_lo = b & jnp.uint32(0xFF)
+    b_hi = b >> jnp.uint32(8)
+    acc_lo = jnp.zeros(a.shape[:-1] + (n_out,), U32)
+    acc_hi = jnp.zeros_like(acc_lo)
+    for i in range(min(L, n_out)):
+        ai = a[..., i:i + 1]
+        width = min(L, n_out - i)
+        acc_lo = acc_lo.at[..., i:i + width].add(ai * b_lo[..., :width])
+        acc_hi = acc_hi.at[..., i:i + width].add(ai * b_hi[..., :width])
+    u = acc_lo & jnp.uint32(0xFFFF)
+    v = acc_lo >> jnp.uint32(16)
+    p = acc_hi & jnp.uint32(0xFF)
+    q = acc_hi >> jnp.uint32(8)
+    vq = v + q
+    carry_in = jnp.concatenate(
+        [jnp.zeros_like(vq[..., :1]), vq[..., :-1]], axis=-1)
+    return u + (p << jnp.uint32(8)) + carry_in
 
 
 def _carry_array(cols):

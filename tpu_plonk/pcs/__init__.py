@@ -1,1 +1,1 @@
-# Submodules: srs, msm (host), kzg, msm_device (TPU kernels).
+# Submodules: srs, msm (host), kzg, msm_csr + commit_device (TPU kernels).

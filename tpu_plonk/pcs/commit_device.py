@@ -1,54 +1,39 @@
 """KZG commitments on the TPU: SRS G1 powers resident on device,
 polynomial coefficients arrive as Montgomery limb arrays straight from
-the device prover engine — no host round-trip until the 48-byte
-commitment leaves for the transcript (SURVEY.md §3.2 "commit" hot
-spots)."""
+the device prover engine; the host builds the chunked-CSR digit lists
+(pcs/msm_csr.py) and only the 48-byte commitment leaves for the
+transcript (SURVEY.md §3.2 "commit" hot spots)."""
 
 import numpy as np
-import jax
-import jax.numpy as jnp
 
-from ..params import LIMB_BITS
 from ..fields import device as dev
-from ..curves import device_g1 as dg1
-from . import msm_device
-
-
-def extract_digits(canonical_limbs, c: int):
-    """(n, 16) canonical u16 limbs -> (W, n) int32 window digits,
-    entirely on device.  c must divide 16."""
-    assert LIMB_BITS % c == 0
-    per_limb = LIMB_BITS // c
-    n_limbs = canonical_limbs.shape[-1]
-    digs = []
-    for w in range(n_limbs * per_limb):
-        limb = canonical_limbs[:, w // per_limb]
-        digs.append(((limb >> (c * (w % per_limb))) &
-                     ((1 << c) - 1)).astype(jnp.int32))
-    return jnp.stack(digs)
+from . import msm_csr
 
 
 class DeviceCommitter:
     """Bind a trimmed SRS to the device once; `commit` maps Montgomery
-    coefficient arrays to affine G1 commitments."""
+    coefficient arrays to affine G1 commitments.  Window width c is
+    fixed per committer so every commit in a proof reuses one compiled
+    MSM pipeline (shape-stable CSR via pad_windows + fixed point count).
+    """
 
-    def __init__(self, srs, max_len: int, c: int = 4):
-        assert max_len <= len(srs.powers_g1)
+    def __init__(self, srs, max_len: int, c: int = 12):
+        if max_len > len(srs.powers_g1):
+            raise ValueError("SRS too small for committed length")
         self.c = c
-        self.points = dg1.points_to_device(srs.powers_g1[:max_len])
+        self.points = msm_csr.pack_points(srs.powers_g1[:max_len])
         self.max_len = max_len
+        self.n_windows = msm_csr.signed_window_count(c)
 
     def commit(self, coeffs_mont):
         n = coeffs_mont.shape[0]
-        assert n <= self.max_len, "polynomial exceeds committed SRS"
-        if n < self.max_len:
-            # zero-pad to the committed length: zero scalars are
-            # MSM-neutral, and a single shape means every commit in a
-            # proof reuses one compiled MSM
-            coeffs_mont = jnp.concatenate(
-                [coeffs_mont,
-                 jnp.zeros((self.max_len - n, 16), jnp.uint32)])
-        canon = dev.from_mont(coeffs_mont, dev.FR)
-        digits = extract_digits(canon, self.c)
-        out = msm_device.msm_device(self.points, digits, self.c)
-        return dg1.points_from_device(tuple(x[None] for x in out))[0]
+        if n > self.max_len:
+            raise ValueError("polynomial exceeds committed SRS")
+        canon = np.asarray(dev.from_mont(coeffs_mont, dev.FR))
+        # zero-pad to the committed length: zero digits vanish from the
+        # CSR lists, and a single point-array shape means every commit
+        # in a proof reuses one compiled MSM
+        canon = np.pad(canon, ((0, self.max_len - n), (0, 0)))
+        l1, l2 = msm_csr.csr_from_limbs(canon, self.c, self.n_windows)
+        s = msm_csr.window_sums(self.points, l1, l2, self.c)
+        return msm_csr.fold_windows_host(msm_csr.sums_to_host(s), self.c)

@@ -1,6 +1,6 @@
 """Host multi-scalar multiplication (Pippenger) over G1 in Jacobian
 coordinates — the correctness oracle and small-size path; the TPU
-sharded MSM lives in pcs/msm_device.py (SURVEY.md §2.10).
+device MSM lives in pcs/msm_csr.py (SURVEY.md §2.10).
 """
 
 from ..params import P_MOD, R_MOD

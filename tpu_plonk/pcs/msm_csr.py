@@ -1,0 +1,362 @@
+"""TPU Pippenger MSM, round-2 design: signed digits + host-built CSR
+bucket lists + device gather-accumulate (the framework's headline
+kernel; BASELINE.md metric "MSM points/sec/chip").
+
+Why this shape (vs the round-1 masked-sweep kernel): profiling showed
+the per-step masked full-bucket-array sweeps bound the old kernel —
+traffic scaled with lanes*W*2^c per step, ~100x off compute bound.
+Here the bucket layout is inverted: the host groups point indices by
+(window, bucket) into a padded CSR index tensor, and the device walks
+the lists with a gather + one batched complete add per step, so
+
+  * every EC add in the accumulation is USEFUL work (list slots, not
+    bucket sweeps): total adds ~= N*W + padding slack;
+  * signed digits halve the bucket count (2^(c-1) vs 2^c), letting c
+    grow to 12-13 where N*ceil(256/c) is ~3x smaller than the old c=4;
+  * the trace holds a handful of point-add instances regardless of
+    N/W/c (fori_loop/scan), keeping XLA compile time flat;
+  * the bucket weighted sum runs as a two-level running-sum scan with
+    ~2*sqrt(B) sequential steps instead of 2^c.
+
+Reference analog: dusk-plonk's serial Pippenger under KZG commit
+(SURVEY.md §2.6, §7 hard part 5).  Sharded version: dist/msm_sharded.
+"""
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..fields import device as dev
+from ..fields import limbs
+from ..curves import g1
+from ..curves import device_g1 as dg1
+
+FP = dev.FP
+
+
+# ---------------------------------------------------------------------------
+# host side: digits, signed recoding, CSR build (vectorized numpy)
+# ---------------------------------------------------------------------------
+
+def limbs_to_digits(canon: np.ndarray, c: int, n_windows: int = None):
+    """(N, L) canonical 16-bit limbs -> (W, N) unsigned c-bit digits.
+    Digits may span limb boundaries; fully vectorized."""
+    canon = np.asarray(canon, dtype=np.uint32)
+    n, L = canon.shape
+    total_bits = 16 * L
+    if n_windows is None:
+        n_windows = (total_bits + c - 1) // c
+    ext = np.concatenate([canon, np.zeros((n, 1), np.uint32)], axis=1)
+    out = np.empty((n_windows, n), dtype=np.int32)
+    mask = (1 << c) - 1
+    for w in range(n_windows):
+        bit = w * c
+        li, sh = bit // 16, bit % 16
+        lo = ext[:, li] >> sh
+        hi = (ext[:, min(li + 1, L)] << (16 - sh)) if sh else 0
+        out[w] = ((lo | hi) & mask).astype(np.int32)
+    return out
+
+
+def recode_signed(digits: np.ndarray, c: int) -> np.ndarray:
+    """Balanced (signed) digit recoding: (W, N) unsigned digits in
+    [0, 2^c) -> digits in [-2^(c-1)+1, 2^(c-1)]; value preserved:
+    sum d_w 2^(cw) unchanged.  A carry is generated only when
+    d > 2^(c-1) (keeping +2^(c-1) representable in-window), so when the
+    top window has <= c-1 significant bits — always true for full
+    255-bit scalars with c not dividing 255 — no overflow window is
+    needed.  Trailing all-zero windows are dropped."""
+    W, n = digits.shape
+    out = np.empty((W + 1, n), dtype=np.int32)
+    carry = np.zeros(n, dtype=np.int32)
+    half = 1 << (c - 1)
+    full = 1 << c
+    for w in range(W):
+        d = digits[w] + carry
+        carry = (d > half).astype(np.int32)
+        out[w] = d - carry * full
+    out[W] = carry
+    top = W + 1
+    while top > 1 and not out[top - 1].any():
+        top -= 1
+    return out[:top]
+
+
+def signed_window_count(c: int, bits: int = 255) -> int:
+    """Static signed-window count for full-width scalars (used by
+    callers that need shape stability across calls — e.g. committers):
+    ceil(bits/c), +1 only when c divides bits (then the top unsigned
+    window is full-width and can carry out)."""
+    w = -(-bits // c)
+    return w + 1 if bits % c == 0 else w
+
+
+def pad_windows(sdigits: np.ndarray, n_windows: int) -> np.ndarray:
+    """Pad (or validate) recoded digits to a static window count."""
+    W = sdigits.shape[0]
+    if W > n_windows:
+        raise ValueError("digits exceed requested window count")
+    if W == n_windows:
+        return sdigits
+    pad = np.zeros((n_windows - W, sdigits.shape[1]), np.int32)
+    return np.concatenate([sdigits, pad], axis=0)
+
+
+def build_csr(sdigits: np.ndarray, c: int, chunk: int = None,
+              pad_rows: int = 256, pad_m2: int = 16):
+    """Signed digits (W, N) -> chunked two-level CSR bucket lists.
+
+    Level 1: every (window, bucket) list is chopped into chunks of
+    exactly `chunk` entries (last chunk padded with 0); each chunk is a
+    row of `l1` (R, chunk) int32, entries +-(point_index + 1), sign =
+    digit sign.  Level 2: `l2` (W, B, M2) int32 lists the 1-based row
+    ids belonging to each bucket (0 = pad).  Chunking bounds the device
+    loop depth by `chunk` + M2 even when digits concentrate in a few
+    buckets (the top scalar window always does), which a flat
+    max-bucket-load layout cannot.
+
+    Degenerate digit skew (all points in one bucket) just grows M2 to
+    ~N/chunk; depth stays O(chunk + N/chunk) = O(sqrt N) at the default
+    chunk ~ sqrt(avg load) scaling."""
+    W, n = sdigits.shape
+    B = 1 << (c - 1)
+    if chunk is None:
+        chunk = default_chunk(n, c)
+    mag = np.abs(sdigits)                     # (W, N) in [0, B]
+    order = np.argsort(mag, axis=1, kind="stable")
+    mag_s = np.take_along_axis(mag, order, axis=1)
+    sign_s = np.take_along_axis(sdigits < 0, order, axis=1)
+    # per-(window,magnitude) counts and exclusive starts
+    flat = (np.arange(W, dtype=np.int64)[:, None] * (B + 1) +
+            mag_s.astype(np.int64)).ravel()
+    counts = np.bincount(flat, minlength=W * (B + 1)).reshape(W, B + 1)
+    starts = np.cumsum(counts, axis=1) - counts
+    slot = np.arange(n, dtype=np.int64)[None, :] - \
+        np.take_along_axis(starts, mag_s.astype(np.int64), axis=1)
+    valid = mag_s > 0
+
+    # row bookkeeping: bucket (w, b) owns ceil(count/chunk) rows
+    nz_counts = counts[:, 1:]                 # (W, B)
+    nrows = -(-nz_counts // chunk)            # ceil div
+    row_start = np.cumsum(nrows.ravel()) - nrows.ravel()
+    row_start = row_start.reshape(W, B)
+    r_total = int(nrows.sum())
+    R = max(pad_rows, -(-r_total // pad_rows) * pad_rows)
+    m2_max = int(nrows.max()) if r_total else 0
+    M2 = max(pad_m2, -(-m2_max // pad_m2) * pad_m2)
+
+    l1 = np.zeros((R, chunk), dtype=np.int32)
+    entries = np.where(sign_s, -(order + 1), order + 1).astype(np.int32)
+    bstart = np.take_along_axis(row_start,
+                                np.maximum(mag_s - 1, 0).astype(np.int64),
+                                axis=1)
+    rows = bstart + slot // chunk
+    l1[rows[valid], (slot % chunk)[valid]] = entries[valid]
+
+    l2 = np.zeros((W, B, M2), dtype=np.int32)
+    k = np.arange(M2)[None, None, :]
+    l2_vals = row_start[:, :, None] + 1 + k
+    l2[:] = np.where(k < nrows[:, :, None], l2_vals, 0)
+    return l1, l2
+
+
+def default_chunk(n: int, c: int) -> int:
+    """Level-1 row length: ~avg bucket load + 4 sigma, 32-aligned."""
+    B = 1 << (c - 1)
+    avg = max(1.0, n / B)
+    chunk = int(avg + 4 * avg ** 0.5)
+    return max(32, min(1 << 14, -(-chunk // 32) * 32))
+
+
+def csr_from_limbs(canon: np.ndarray, c: int, n_windows: int = None,
+                   chunk: int = None):
+    """(N, 16) canonical limbs -> (l1, l2) chunked CSR.  Uses the C
+    builder (tpu_plonk/native) when available — the numpy pipeline
+    costs ~4 s at 2^18 on this class of host, the C pass ~50 ms — and
+    falls back to the numpy path otherwise (bit-identical layout,
+    asserted in tests)."""
+    n = canon.shape[0]
+    if chunk is None:
+        chunk = default_chunk(n, c)
+    if n_windows is None or n_windows == signed_window_count(c):
+        from .. import native
+        w = signed_window_count(c)
+        out = native.build_csr_native(canon, c, w, chunk)
+        if out is not None:
+            return out
+        n_windows = w
+    else:
+        # explicit narrow windows may carry into one extra window
+        n_windows += 1
+    sd = pad_windows(recode_signed(limbs_to_digits(canon, c), c),
+                     n_windows)
+    return build_csr(sd, c, chunk=chunk)
+
+
+def scalars_to_csr(scalars, c: int, n_windows: int = None):
+    """Host ints -> chunked CSR tensors (helper for the host API)."""
+    from ..params import R_MOD
+    canon = np.asarray(limbs.ints_to_limbs(
+        [int(s) % R_MOD for s in scalars], 16))
+    return build_csr(recode_signed(limbs_to_digits(canon, c, n_windows),
+                                   c), c)
+
+
+def pack_points(points) -> jnp.ndarray:
+    """Affine host points -> (N+1, 3, 24) u32 Montgomery projective with
+    row 0 = identity (the CSR padding target)."""
+    x, y, z = dg1.points_to_device([None] + list(points))
+    return jnp.stack([x, y, z], axis=1)
+
+
+# ---------------------------------------------------------------------------
+# device side
+# ---------------------------------------------------------------------------
+
+def _as_tuple(a):
+    return (a[..., 0, :], a[..., 1, :], a[..., 2, :])
+
+
+def _accumulate_impl(points, idx):
+    """points (P, 3, 24) with row 0 = identity; idx (R, M) signed
+    1-based entries, 0 = pad.  Returns per-row sums (R, 3, 24).  One
+    gather + one batched complete add per list step; exactly one
+    point-add instance in the trace (compile time flat in R/M).
+
+    Un-jitted on purpose: the sharded path traces it inside shard_map,
+    and a jit closure first traced in a manual-sharding context poisons
+    its cache for top-level reuse (see poly/ntt.py `ntt_batched`)."""
+    def body(m, acc):
+        e = jax.lax.dynamic_index_in_dim(idx, m, axis=1, keepdims=False)
+        rows = jnp.abs(e)
+        g = jnp.take(points, rows, axis=0)          # (R, 3, 24)
+        gx, gy, gz = _as_tuple(g)
+        gy = jnp.where((e < 0)[:, None],
+                       dev.neg_mod(gy, FP), gy)
+        return _stack3(dg1.add(_as_tuple(acc), (gx, gy, gz)))
+
+    acc0 = _stack3(dg1.identity((idx.shape[0],)))
+    return jax.lax.fori_loop(0, idx.shape[1], body, acc0)
+
+
+_accumulate = jax.jit(_accumulate_impl)
+
+
+def _stack3(t):
+    return jnp.stack(t, axis=-2)
+
+
+def _weighted_window_sums_impl(buckets, c: int):
+    """Bucket sums (W, B, 3, 24) (slot b holds bucket magnitude b+1) ->
+    per-window weighted sums sum_b (b+1)*B_b as (W, 3, 24).
+
+    Two-level decomposition b = g*K + k:
+      S_w = K * sum_g g*A_g + sum_g T_g,
+      A_g = sum_k B_{g,k},  T_g = sum_k (k+1) B_{g,k},
+    each level a high-to-low running-sum scan (the classic Pippenger
+    suffix trick), depth K + G + log2(K) instead of B."""
+    W, B = buckets.shape[:2]
+    K = 1 << ((c - 1 + 1) // 2)
+    K = min(K, B)
+    G = B // K
+    assert G * K == B
+    bk = buckets.reshape(W, G, K, 3, 24)
+    # level 1: scan k = K-1 .. 0
+    xs = jnp.flip(jnp.moveaxis(bk, 2, 0), 0)       # (K, W, G, 3, 24)
+
+    def lvl1(carry, x):
+        run, tot = carry
+        run = _stack3(dg1.add(_as_tuple(run), _as_tuple(x)))
+        tot = _stack3(dg1.add(_as_tuple(tot), _as_tuple(run)))
+        return (run, tot), None
+
+    zero_wg = _stack3(dg1.identity((W, G)))
+    (a_g, t_g), _ = jax.lax.scan(lvl1, (zero_wg, zero_wg), xs)
+
+    # level 2: scan g = G-1 .. 0 with three accumulators
+    xs2 = jnp.flip(jnp.moveaxis(jnp.stack([a_g, t_g]), 2, 0), 0)
+
+    def lvl2(carry, x):
+        run2, tot2, sum_t = carry
+        a, t = x[0], x[1]
+        run2 = _stack3(dg1.add(_as_tuple(run2), _as_tuple(a)))
+        tot2 = _stack3(dg1.add(_as_tuple(tot2), _as_tuple(run2)))
+        sum_t = _stack3(dg1.add(_as_tuple(sum_t), _as_tuple(t)))
+        return (run2, tot2, sum_t), None
+
+    zero_w = _stack3(dg1.identity((W,)))
+    (run2, tot2, sum_t), _ = jax.lax.scan(
+        lvl2, (zero_w, zero_w, zero_w), xs2)
+
+    # sum_g g*A_g = tot2 - run2; S = K*(that) + sum_t
+    gpart = _stack3(dev_sub_point(tot2, run2))
+    gpart = jax.lax.fori_loop(
+        0, K.bit_length() - 1,
+        lambda _, p: _stack3(dg1.add(_as_tuple(p), _as_tuple(p))), gpart)
+    return _stack3(dg1.add(_as_tuple(gpart), _as_tuple(sum_t)))
+
+
+_weighted_window_sums = jax.jit(_weighted_window_sums_impl,
+                                static_argnames=("c",))
+
+
+def dev_sub_point(p, q):
+    """p - q on stacked (..., 3, 24) projective points."""
+    qx, qy, qz = _as_tuple(q)
+    return dg1.add(_as_tuple(p), (qx, dev.neg_mod(qy, FP), qz))
+
+
+def window_sums_impl(points_packed, l1, l2, c: int):
+    """Traceable pipeline body: chunked CSR -> (W, 3, 24) weighted
+    window sums.  Pass 1 reduces each level-1 chunk row; pass 2 merges
+    row sums into buckets (same kernel, rows as points); then the
+    weighted scan.  Used inside shard_map by dist/msm_sharded.py."""
+    row_sums = _accumulate_impl(points_packed, l1)
+    row_pts = jnp.concatenate(
+        [_stack3(dg1.identity((1,))), row_sums], axis=0)
+    W, B, M2 = l2.shape
+    buckets = _accumulate_impl(row_pts, l2.reshape(W * B, M2))
+    return _weighted_window_sums_impl(buckets.reshape(W, B, 3, 24), c)
+
+
+def window_sums(points_packed, l1, l2, c: int):
+    """Single-chip pipeline (jitted stages; see window_sums_impl)."""
+    row_sums = _accumulate(points_packed, jnp.asarray(l1))
+    row_pts = jnp.concatenate(
+        [_stack3(dg1.identity((1,))), row_sums], axis=0)
+    W, B, M2 = l2.shape
+    buckets = _accumulate(row_pts, jnp.asarray(l2).reshape(W * B, M2))
+    return _weighted_window_sums(buckets.reshape(W, B, 3, 24), c)
+
+
+# ---------------------------------------------------------------------------
+# host fold + public API
+# ---------------------------------------------------------------------------
+
+def fold_windows_host(window_pts, c: int):
+    """Horner fold of per-window affine sums on the host: O(W*c) jacobian
+    ops on ~27 points — cheaper and compile-free vs a device scan tail."""
+    acc = None
+    for p in reversed(window_pts):
+        if acc is not None:
+            for _ in range(c):
+                acc = g1.add(acc, acc)
+        acc = g1.add(acc, p) if acc is not None else p
+    return acc
+
+
+def sums_to_host(sums) -> list:
+    """(W, 3, 24) device sums -> list of affine host points."""
+    return dg1.points_from_device(_as_tuple(sums))
+
+
+def msm(points, scalars, c: int = 12, n_windows: int = None):
+    """Host-facing MSM: affine points + int scalars -> affine point.
+    `n_windows` bounds the unsigned digit count for known-small scalars
+    (keeps test compiles cheap); default covers the full 255 bits."""
+    pts = pack_points(points)
+    l1, l2 = scalars_to_csr(scalars, c, n_windows)
+    s = window_sums(pts, l1, l2, c)
+    return fold_windows_host(sums_to_host(s), c)

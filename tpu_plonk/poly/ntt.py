@@ -95,11 +95,16 @@ MXU_THRESHOLD_LOG_N = 17
 
 def ntt(x, log_n: int):
     """Forward NTT: coefficients -> evaluations (both natural order,
-    Montgomery limbs)."""
+    Montgomery limbs).  Routed through the constant-geometry Pease
+    kernel (O(1) trace size — the butterfly path compiled in O(log n)
+    distinct stages, 643 s cold at 2^14 on the TPU tunnel); the MXU
+    int8-DFT path takes over at large sizes where its matmul
+    formulation wins."""
     if log_n >= MXU_THRESHOLD_LOG_N:
         from . import ntt_mxu
         return ntt_mxu.ntt_mxu(x, log_n)
-    return _jitted(log_n, False)(x)
+    from . import ntt_pease
+    return ntt_pease.ntt_pease(x, log_n)
 
 
 def ntt_batched(x, log_n: int, inverse: bool = False):
@@ -130,7 +135,8 @@ def intt(x, log_n: int):
     if log_n >= MXU_THRESHOLD_LOG_N:
         from . import ntt_mxu
         return ntt_mxu.ntt_mxu(x, log_n, inverse=True)
-    return _jitted(log_n, True)(x)
+    from . import ntt_pease
+    return ntt_pease.ntt_pease(x, log_n, inverse=True)
 
 
 @functools.lru_cache(maxsize=None)

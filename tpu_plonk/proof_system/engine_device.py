@@ -9,7 +9,7 @@ What runs on device (SURVEY.md §3.2 hot paths):
   - aggregate-opening quotients (Ruffini via power/suffix scans)
 
 What stays on host: transcript (merlin), KZG commits (host Pippenger or
-pcs/msm_device), proof assembly.  The host engine is the oracle; the
+pcs/commit_device CSR MSM), proof assembly.  The host engine is the oracle; the
 cross-check test asserts identical proof bytes.
 
 All device values are Montgomery-form (..., 16) uint32 limb arrays.
@@ -115,19 +115,27 @@ def range_scalar_dev(w, wn, kappa):
 
 
 def logic_scalar_dev(w, wn, q_c, kappa):
-    a, b, _c, d = w
-    an, bn, cn, dn = wn
-    ca = sb(an, cmul(2, a))
-    cb = sb(bn, cmul(2, b))
-    cd = sb(dn, cmul(2, d))
-    wp = cn
-    one = const(1, q_c.shape[:-1])
-    l1 = mm(ca, csub(ca, 1))
-    l2 = mm(cb, csub(cb, 1))
-    l3 = mm(cd, csub(cd, 1))
-    l4 = sb(wp, mm(ca, cb))
-    xor_part = sb(ad(ca, cb), cmul(2, wp))
-    l5 = sb(cd, ad(mm(q_c, xor_part), mm(sb(one, q_c), wp)))
+    """Mirror of constraints.logic_scalar (2-bit quads, product wire on
+    the current row's c — see that docstring for the derivation)."""
+    from .constraints import _C83_6, _C27_2, _C2_3
+    a, b, c, d = w
+    an, bn, _cn, dn = wn
+    qa = sb(an, cmul(4, a))
+    qb = sb(bn, cmul(4, b))
+    qd = sb(dn, cmul(4, d))
+    wp = c
+    l1 = delta_dev(qa)
+    l2 = delta_dev(qb)
+    l3 = delta_dev(qd)
+    l4 = sb(wp, mm(qa, qb))
+    s = ad(qa, qb)
+    sq = ad(mm(qa, qa), mm(qb, qb))
+    w2 = mm(wp, wp)
+    andv = sb(ad(ad(cmul(_C83_6, wp), cmul(3, mm(wp, sq))),
+                 ad(cmul(_C27_2, w2), cmul(_C2_3, mm(w2, wp)))),
+              ad(mm(cmul(_C27_2, wp), s), cmul(3, mm(w2, s))))
+    l5 = sb(qd, ad(mm(q_c, s),
+                   mm(sb(const(1, q_c.shape[:-1]), cmul(3, q_c)), andv)))
     out = l1
     kp = kappa
     for term in (l2, l3, l4, l5):
@@ -328,9 +336,16 @@ def ruffini_dev(coeffs, z_mont, z_inv_mont, value_mont):
 
 
 def prove_device(composer, pk, srs, label=None, dpk: DevicePK = None,
-                 commit_fn=None, metrics=None):
+                 commit_fn=None, metrics=None, mesh=None):
     """Device-engine prover; mirrors prover.prove round-for-round and
-    must produce byte-identical proofs (asserted by tests)."""
+    must produce byte-identical proofs (asserted by tests).
+
+    With `mesh` (a jax Mesh with a "shard" axis), the two scaling hot
+    paths route through the multi-chip kernels: KZG commits via
+    dist/msm_sharded.ShardedCommitter and all wire/z/PI/quotient
+    (i)NTTs via the four-step all_to_all NTT (dist/ntt_sharded).  EC
+    addition and the NTT algebra are exact, so proof bytes are
+    identical across device counts (tests/test_dist_prover.py)."""
     from ..transcript import Transcript
     from ..transcript import labels as L
     from ..poly.domain import Domain
@@ -344,6 +359,18 @@ def prove_device(composer, pk, srs, label=None, dpk: DevicePK = None,
         label = L.PROTOCOL
     if dpk is None:
         dpk = DevicePK(pk)
+    if mesh is not None:
+        from ..dist import msm_sharded as _msh
+        from ..dist import ntt_sharded as _nsh
+        if commit_fn is None:
+            commit_fn = _msh.ShardedCommitter(mesh, srs, pk.n).commit
+        _intt = lambda x, ln: _nsh.ntt_sharded(mesh, x, ln, inverse=True)  # noqa: E731
+        _coset_ntt = lambda x, ln: _nsh.coset_ntt_sharded(mesh, x, ln)  # noqa: E731
+        _coset_intt = lambda x, ln: _nsh.coset_intt_sharded(mesh, x, ln)  # noqa: E731
+    else:
+        _intt = nttmod.intt
+        _coset_ntt = nttmod.coset_ntt
+        _coset_intt = nttmod.coset_intt
     if commit_fn is None:
         commit_fn = lambda coeffs_dev: kzg.commit(from_dev(coeffs_dev), srs)  # noqa: E731
 
@@ -358,7 +385,7 @@ def prove_device(composer, pk, srs, label=None, dpk: DevicePK = None,
     with met.timed("r1_wires"):
         witness_mont = to_dev(composer.witness)
         wires_H = wire_values_dev(dpk, witness_mont)
-        wire_coeffs = {w: nttmod.intt(wires_H[w], log_n) for w in "abcd"}
+        wire_coeffs = {w: _intt(wires_H[w], log_n) for w in "abcd"}
         comm = {}
         for lbl, name, w in ((L.W_L, "w_l", "a"), (L.W_R, "w_r", "b"),
                              (L.W_O, "w_o", "c"), (L.W_4, "w_4", "d")):
@@ -374,7 +401,7 @@ def prove_device(composer, pk, srs, label=None, dpk: DevicePK = None,
     with met.timed("r2_grand_product"):
         z_H, closure = grand_product_dev(
             wires_H, dpk.sigma_H, dpk.domain_elems, beta, gamma, log_n)
-        z_coeffs = nttmod.intt(z_H, log_n)
+        z_coeffs = _intt(z_H, log_n)
         comm["z"] = commit_fn(z_coeffs)
     t.append_commitment(L.Z, comm["z"])
     alpha_i = t.challenge_scalar(L.ALPHA)
@@ -392,19 +419,19 @@ def prove_device(composer, pk, srs, label=None, dpk: DevicePK = None,
     # ---------------- round 3: quotient ----------------
     with met.timed("r3_quotient"):
         log_4n = dpk.log_4n
-        wire_ext = {w: nttmod.coset_ntt(
+        wire_ext = {w: _coset_ntt(
             _pad4(wire_coeffs[w]), log_4n) for w in "abcd"}
-        z_ext = nttmod.coset_ntt(_pad4(z_coeffs), log_4n)
+        z_ext = _coset_ntt(_pad4(z_coeffs), log_4n)
         pi_vec = [0] * n
         for gi, val in composer.pi.items():
             pi_vec[gi] = val
-        pi_ext = nttmod.coset_ntt(_pad4(nttmod.intt(to_dev(pi_vec),
-                                                    log_n)), log_4n)
+        pi_ext = _coset_ntt(_pad4(_intt(to_dev(pi_vec),
+                                        log_n)), log_4n)
         tables = {"sel_ext": dpk.sel_ext, "sigma_ext": dpk.sigma_ext,
                   "l1_ext": dpk.l1_ext, "zh_inv_ext": dpk.zh_inv_ext,
                   "coset_points": dpk.coset_points}
         t_ext = quotient_dev(tables, wire_ext, z_ext, pi_ext, alpha, ch)
-        t_coeffs = nttmod.coset_intt(t_ext, log_4n)
+        t_coeffs = _coset_intt(t_ext, log_4n)
         chunks = [t_coeffs[k * n:(k + 1) * n] for k in range(4)]
         for k, lbl in enumerate((L.T_1, L.T_2, L.T_3, L.T_4)):
             comm[f"t_{k + 1}"] = commit_fn(chunks[k])
@@ -422,7 +449,8 @@ def prove_device(composer, pk, srs, label=None, dpk: DevicePK = None,
         for wname, cname in (("a", "a"), ("b", "b"), ("c", "c"),
                              ("d", "d")):
             ev[cname] = _ev(wire_coeffs[wname], zeta_pows)
-            ev[cname + "_next"] = _ev(wire_coeffs[wname], zw_pows)
+            if cname != "c":   # c is opened only at zeta (dusk shape)
+                ev[cname + "_next"] = _ev(wire_coeffs[wname], zw_pows)
         for j, nm in enumerate(("sigma1", "sigma2", "sigma3")):
             ev[nm] = _ev(dpk.sigma_coeffs[j], zeta_pows)
         for nm in ("q_arith", "q_c", "q_l", "q_r"):
@@ -472,7 +500,6 @@ def prove_device(composer, pk, srs, label=None, dpk: DevicePK = None,
             (z_coeffs, ev_i["z_shifted"]),
             (wire_coeffs["a"], ev_i["a_next"]),
             (wire_coeffs["b"], ev_i["b_next"]),
-            (wire_coeffs["c"], ev_i["c_next"]),
             (wire_coeffs["d"], ev_i["d_next"]),
         ]
         comm["w_z"] = commit_fn(_aggregate_open(agg_zeta, v_i, zeta_i))
@@ -481,7 +508,7 @@ def prove_device(composer, pk, srs, label=None, dpk: DevicePK = None,
     t.append_commitment(L.W_Z_W, comm["w_zw"])
 
     evals = {k: ev_i[k] for k in
-             ("a", "b", "c", "d", "a_next", "b_next", "c_next", "d_next",
+             ("a", "b", "c", "d", "a_next", "b_next", "d_next",
               "sigma1", "sigma2", "sigma3",
               "q_arith", "q_c", "q_l", "q_r", "z_shifted", "r")}
     return Proof(comm, evals)

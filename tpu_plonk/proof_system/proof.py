@@ -1,12 +1,12 @@
 """Proof object + canonical serialization.
 
 Layout (docs/PROTOCOL.md §proof): 11 compressed G1 commitments (48 B
-each) followed by 17 scalars (32 B LE each) = 1072 bytes.  Commitment
+each) followed by 16 scalars (32 B LE each) = 1040 bytes.  Commitment
 order: w_l w_r w_o w_4 z t1 t2 t3 t4 w_z w_zw.  Evaluation order:
-a b c d | a' b' c' d' | sigma1 sigma2 sigma3 | q_arith q_c q_l q_r |
+a b c d | a' b' d' | sigma1 sigma2 sigma3 | q_arith q_c q_l q_r |
 z(zw) | r(z).
-(dusk 0.8 proofs are ~the same shape with 16 evals — we additionally
-open the c wire at zeta*omega; SURVEY.md §2.8.)
+(the dusk 0.8 shape: c is opened only at zeta — no widget reads the
+output wire on the next row; SURVEY.md §2.8 round 4.)
 """
 
 import dataclasses
@@ -17,12 +17,12 @@ from ..fields import fr
 COMMITMENT_NAMES = ("w_l", "w_r", "w_o", "w_4", "z",
                     "t_1", "t_2", "t_3", "t_4", "w_z", "w_zw")
 EVAL_NAMES = ("a", "b", "c", "d",
-              "a_next", "b_next", "c_next", "d_next",
+              "a_next", "b_next", "d_next",
               "sigma1", "sigma2", "sigma3",
               "q_arith", "q_c", "q_l", "q_r",
               "z_shifted", "r")
 
-PROOF_SIZE = 11 * 48 + 17 * 32  # 1072 bytes
+PROOF_SIZE = 11 * 48 + 16 * 32  # 1040 bytes
 
 
 @dataclasses.dataclass

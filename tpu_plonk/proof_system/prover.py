@@ -149,7 +149,8 @@ def prove(composer, pk, srs, label: bytes = L.PROTOCOL,
     ev = {}
     for wname, cname in (("a", "a"), ("b", "b"), ("c", "c"), ("d", "d")):
         ev[cname] = poly.evaluate(wire_coeffs[wname], zeta)
-        ev[cname + "_next"] = poly.evaluate(wire_coeffs[wname], zw)
+        if cname != "c":   # dusk opens only a, b, d (and z) at zeta*omega
+            ev[cname + "_next"] = poly.evaluate(wire_coeffs[wname], zw)
     for j, nm in enumerate(("sigma1", "sigma2", "sigma3")):
         ev[nm] = poly.evaluate(pk.sigma_coeffs[j], zeta)
     for nm in ("q_arith", "q_c", "q_l", "q_r"):
@@ -181,7 +182,7 @@ def prove(composer, pk, srs, label: bytes = L.PROTOCOL,
         pk.selector_coeffs["q_l"], pk.selector_coeffs["q_r"],
     ]
     agg_zw_polys = [z_coeffs, wire_coeffs["a"], wire_coeffs["b"],
-                    wire_coeffs["c"], wire_coeffs["d"]]
+                    wire_coeffs["d"]]
     comm["w_z"], comm["w_zw"] = _memo("r5", lambda: (
         kzg.open_aggregate(agg_zeta_polys, zeta, v, srs),
         kzg.open_aggregate(agg_zw_polys, zw, v, srs)))
@@ -189,7 +190,7 @@ def prove(composer, pk, srs, label: bytes = L.PROTOCOL,
     t.append_commitment(L.W_Z_W, comm["w_zw"])
 
     evals = {k: ev[k] for k in
-             ("a", "b", "c", "d", "a_next", "b_next", "c_next", "d_next",
+             ("a", "b", "c", "d", "a_next", "b_next", "d_next",
               "sigma1", "sigma2", "sigma3",
               "q_arith", "q_c", "q_l", "q_r", "z_shifted", "r")}
     return Proof(comm, evals)
@@ -219,7 +220,9 @@ def linearization_coefficients(ev, zeta, beta, gamma, alpha, ch, dom):
     the prover (applied to coeff vectors) and the verifier (applied to
     commitments)."""
     w = (ev["a"], ev["b"], ev["c"], ev["d"])
-    wn = (ev["a_next"], ev["b_next"], ev["c_next"], ev["d_next"])
+    # no widget reads c at the next row (the logic product wire moved to
+    # the current row), so c' is neither opened nor needed here
+    wn = (ev["a_next"], ev["b_next"], 0, ev["d_next"])
     qa = ev["q_arith"]
     co = {}
     for name, scalar in C.arith_coeffs(w).items():
@@ -302,7 +305,6 @@ def append_evals(t: Transcript, ev: dict, t_eval: int) -> None:
     t.append_scalar(L.D_EVAL, ev["d"])
     t.append_scalar(L.A_NEXT_EVAL, ev["a_next"])
     t.append_scalar(L.B_NEXT_EVAL, ev["b_next"])
-    t.append_scalar(L.C_NEXT_EVAL, ev["c_next"])
     t.append_scalar(L.D_NEXT_EVAL, ev["d_next"])
     t.append_scalar(L.LEFT_SIG_EVAL, ev["sigma1"])
     t.append_scalar(L.RIGHT_SIG_EVAL, ev["sigma2"])

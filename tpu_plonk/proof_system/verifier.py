@@ -77,9 +77,8 @@ def verify(proof: Proof, vk, public_inputs: dict, srs,
     zeta_vals = [t_eval, ev["r"], ev["a"], ev["b"], ev["c"], ev["d"],
                  ev["sigma1"], ev["sigma2"], ev["sigma3"],
                  ev["q_arith"], ev["q_c"], ev["q_l"], ev["q_r"]]
-    zw_comms = [comm["z"], comm["w_l"], comm["w_r"], comm["w_o"],
-                comm["w_4"]]
-    zw_vals = [ev["z_shifted"], ev["a_next"], ev["b_next"], ev["c_next"],
+    zw_comms = [comm["z"], comm["w_l"], comm["w_r"], comm["w_4"]]
+    zw_vals = [ev["z_shifted"], ev["a_next"], ev["b_next"],
                ev["d_next"]]
 
     agg_c1 = kzg.aggregate_commitments(zeta_comms, v)
