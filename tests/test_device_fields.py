@@ -98,3 +98,29 @@ def test_batch_inv_mont():
     out = dev.from_mont(dev.batch_inv_mont(am, dev.FR, axis=0), dev.FR)
     assert limbs.limbs_to_ints(np.asarray(out)) == \
         [pow(x, -1, R_MOD) if x else 0 for x in a]
+
+
+def test_debug_guards_catch_bad_limbs():
+    """Opt-in overflow/canonicity guards (SURVEY §5.2): valid inputs
+    pass, limb-overflow and non-canonical inputs raise.  Uses a unique
+    shape so the guard is baked into a fresh trace."""
+    import pytest
+    import jax.numpy as jnp
+    from tpu_plonk.fields import device as dev
+
+    old = dev.DEBUG_GUARDS
+    dev.DEBUG_GUARDS = True
+    try:
+        shape = (3, 16)   # unique in the suite -> fresh trace
+        good = jnp.zeros(shape, jnp.uint32).at[:, 0].set(7)
+        out = dev.add_mod(good, good, dev.FR)
+        assert out[0, 0] == 14
+        bad_limb = good.at[0, 3].set(1 << 17)
+        with pytest.raises(Exception):
+            jnp.asarray(dev.add_mod(bad_limb, good, dev.FR)).copy()
+        noncanon = jnp.asarray(
+            [[0xFFFF] * 16] * 3, jnp.uint32)  # value >= r
+        with pytest.raises(Exception):
+            jnp.asarray(dev.sub_mod(noncanon, good, dev.FR)).copy()
+    finally:
+        dev.DEBUG_GUARDS = old

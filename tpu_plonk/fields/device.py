@@ -68,6 +68,46 @@ FP = FieldCtx("fp", P_MOD, FP_LIMBS, FP_MONT_R2, FP_NEG_INV)
 
 
 # ---------------------------------------------------------------------------
+# opt-in overflow/canonicity guards (SURVEY.md §5.2 sanitizer analog)
+#
+# Limb overflow is THE correctness hazard of this representation; the
+# bit-exact oracle tests catch algebra bugs, but a guard that validates
+# the in-flight invariants (every limb < 2^16, every value < modulus)
+# catches violations at the op that produced them.  Off by default —
+# debug.callback round-trips to host, so this is a debugging tool, not
+# a production path.  Enable with TPU_PLONK_DEBUG_GUARDS=1 (read at
+# trace time) or dev.DEBUG_GUARDS = True before first use of a shape.
+# ---------------------------------------------------------------------------
+
+import os as _os
+
+DEBUG_GUARDS = _os.environ.get("TPU_PLONK_DEBUG_GUARDS", "0") not in ("", "0")
+
+
+def _guard(x, ctx: FieldCtx, where: str):
+    if not DEBUG_GUARDS:
+        return
+
+    def _check(arr, _where=where, _ctx=ctx):
+        arr = np.asarray(arr)
+        if (arr > LIMB_MASK).any():
+            raise FloatingPointError(
+                f"limb overflow entering {_where} ({_ctx.name})")
+        # canonical (< modulus) check, vectorized most-significant-first
+        m = _ctx.mod_limbs
+        less = np.zeros(arr.shape[:-1], dtype=bool)
+        eq = np.ones(arr.shape[:-1], dtype=bool)
+        for i in range(_ctx.n_limbs - 1, -1, -1):
+            less |= eq & (arr[..., i] < m[i])
+            eq &= arr[..., i] == m[i]
+        if not less.all():
+            raise FloatingPointError(
+                f"non-canonical value entering {_where} ({_ctx.name})")
+
+    jax.debug.callback(_check, x)
+
+
+# ---------------------------------------------------------------------------
 # add / sub / neg (canonical, non-Montgomery-sensitive)
 #
 # Public entry points are jitted with the field context static: calling
@@ -100,6 +140,8 @@ def _sub_array(a, b):
 
 @functools.partial(jax.jit, static_argnames=("ctx",))
 def add_mod(a, b, ctx: FieldCtx):
+    _guard(a, ctx, "add_mod.a")
+    _guard(b, ctx, "add_mod.b")
     mod = jnp.asarray(ctx.mod_limbs, U32)
     s = _carry_array(a + b)  # a+b < 2q < 2^(16L), carry-out 0
     d, borrow = _sub_array(s, jnp.broadcast_to(mod, s.shape))
@@ -108,6 +150,8 @@ def add_mod(a, b, ctx: FieldCtx):
 
 @functools.partial(jax.jit, static_argnames=("ctx",))
 def sub_mod(a, b, ctx: FieldCtx):
+    _guard(a, ctx, "sub_mod.a")
+    _guard(b, ctx, "sub_mod.b")
     mod = jnp.asarray(ctx.mod_limbs, U32)
     d, borrow = _sub_array(a, b)
     dm = _carry_array(d + jnp.broadcast_to(mod, d.shape))
@@ -129,21 +173,22 @@ def is_zero(a):
 
 def _comba_matmul(a, b, n_out=None):
     """Column sums of the schoolbook product of (..., L) limb arrays.
-    Returns (..., n_out) u32 columns, each < 2^22 (pre-carry).
+    Returns (..., n_out) u32 columns, each < 2^23 (pre-carry).
 
-    Round-2 formulation: shift-and-MAC on the VPU.  The round-1 version
-    materialized the (..., L, L) u32 outer product plus two f32 copies
-    and pushed them through an antidiagonal 0/1 matmul — ~56 KB of HBM
-    traffic per Fp multiply, which profiling showed made the MSM
-    bucket-accumulate step HBM-bound ~15x off peak.  Here column sums
-    accumulate as L fused elementwise multiply-adds of statically
-    shifted slices (XLA fuses the whole chain; nothing quadratic is
-    materialized), so traffic is ~3 limb vectors per multiply.
+    Round-2 formulation: shift-and-MAC via a lax.scan over the limbs of
+    `a`.  The round-1 version materialized the (..., L, L) u32 outer
+    product plus two f32 copies and pushed them through an antidiagonal
+    matmul — ~56 KB of HBM traffic per Fp multiply, which made the MSM
+    bucket-accumulate step HBM-bound ~15x off peak.  A fully unrolled
+    .at[].add chain fixes the traffic but bloats the trace (47 s to
+    compile ONE point-add on the CI box); the scan keeps exactly one
+    multiply-accumulate body in the trace and XLA updates the carried
+    accumulator in place.
 
     Exactness: u32 products a_i*b_j would overflow 32 bits, so b is
     split into 8-bit halves: each term a_i*b8 < 2^24, summed over <= L
     (<= 24) terms < 2^28.6 — exact in u32.  The two accumulators are
-    then re-split so every final column is < 2^22, within
+    then re-split so every final column is < 2^23, within
     _carry_array's < 2^26 input contract:
       T_k = lo_k + 2^8 hi_k = (u_k + 2^8 p_k) + 2^16 (v_k + q_k)
     with u = lo & 0xffff, v = lo >> 16, p = hi & 0xff, q = hi >> 8; the
@@ -151,15 +196,29 @@ def _comba_matmul(a, b, n_out=None):
     L = a.shape[-1]
     if n_out is None:
         n_out = 2 * L
-    b_lo = b & jnp.uint32(0xFF)
-    b_hi = b >> jnp.uint32(8)
-    acc_lo = jnp.zeros(a.shape[:-1] + (n_out,), U32)
-    acc_hi = jnp.zeros_like(acc_lo)
-    for i in range(min(L, n_out)):
-        ai = a[..., i:i + 1]
-        width = min(L, n_out - i)
-        acc_lo = acc_lo.at[..., i:i + width].add(ai * b_lo[..., :width])
-        acc_hi = acc_hi.at[..., i:i + width].add(ai * b_hi[..., :width])
+    b_lo = (b & jnp.uint32(0xFF))[..., :min(L, n_out)]
+    b_hi = (b >> jnp.uint32(8))[..., :min(L, n_out)]
+    width = b_lo.shape[-1]
+    # accumulators padded so the dynamic window [i, i+width) always fits
+    pad = a.shape[:-1] + (n_out + width,)
+    moved = jnp.moveaxis(a, -1, 0)            # (L, ...) scan over limbs
+
+    def body(carry, ai):
+        acc_lo, acc_hi, i = carry
+        ai = ai[..., None]
+        seg_lo = jax.lax.dynamic_slice_in_dim(acc_lo, i, width, axis=-1)
+        seg_hi = jax.lax.dynamic_slice_in_dim(acc_hi, i, width, axis=-1)
+        acc_lo = jax.lax.dynamic_update_slice_in_dim(
+            acc_lo, seg_lo + ai * b_lo, i, axis=-1)
+        acc_hi = jax.lax.dynamic_update_slice_in_dim(
+            acc_hi, seg_hi + ai * b_hi, i, axis=-1)
+        return (acc_lo, acc_hi, i + 1), None
+
+    init = (jnp.zeros(pad, U32), jnp.zeros(pad, U32), jnp.int32(0))
+    (acc_lo, acc_hi, _), _ = jax.lax.scan(body, init,
+                                          moved[:min(L, n_out)])
+    acc_lo = acc_lo[..., :n_out]
+    acc_hi = acc_hi[..., :n_out]
     u = acc_lo & jnp.uint32(0xFFFF)
     v = acc_lo >> jnp.uint32(16)
     p = acc_hi & jnp.uint32(0xFF)
@@ -168,6 +227,44 @@ def _comba_matmul(a, b, n_out=None):
     carry_in = jnp.concatenate(
         [jnp.zeros_like(vq[..., :1]), vq[..., :-1]], axis=-1)
     return u + (p << jnp.uint32(8)) + carry_in
+
+
+@functools.lru_cache(maxsize=None)
+def _toeplitz8(const_value: int, n_limbs: int, n_out: int) -> np.ndarray:
+    """(2L, 2*n_out) f32 banded matrix of the constant's 8-bit digits:
+    row i, column k holds digit (k - i) so that x8 @ M gives the 8-bit
+    radix product columns of x * const (truncated mod 2^(16*n_out))."""
+    digits = [(const_value >> (8 * t)) & 0xFF for t in range(2 * n_limbs)]
+    m = np.zeros((2 * n_limbs, 2 * n_out), dtype=np.float32)
+    for i in range(2 * n_limbs):
+        for k in range(i, min(2 * n_out, i + 2 * n_limbs)):
+            m[i, k] = digits[k - i]
+    return m
+
+
+def _const_mul_cols(x, const_value: int, n_limbs: int, n_out: int):
+    """x (..., L) 16-bit limbs times a compile-time constant, as
+    (..., n_out) u32 16-bit-radix columns < 2^23 (pre-carry).
+
+    Runs as ONE single-pass bf16 MXU matmul over 8-bit digit splits —
+    exact because both operand digit sets are < 2^8 (bf16-exact), the
+    products < 2^16, and the f32 accumulation of <= 2L <= 48 terms
+    stays < 2^21.6 < 2^24.  Used for the two REDC multiplies (by
+    -q^{-1} mod R and by q), which always have constant operands."""
+    x8 = jnp.stack([x & jnp.uint32(0xFF), x >> jnp.uint32(8)],
+                   axis=-1).reshape(x.shape[:-1] + (2 * n_limbs,))
+    mat = jnp.asarray(_toeplitz8(const_value, n_limbs, n_out))
+    p = jnp.matmul(x8.astype(jnp.float32), mat,
+                   preferred_element_type=jnp.float32).astype(U32)
+    # recombine 8-bit columns p_{2j} + 2^8 p_{2j+1} into 16-bit columns
+    # with the high part of odd columns carried one column up
+    even = p[..., 0::2]
+    odd = p[..., 1::2]
+    alpha = odd & jnp.uint32(0xFF)
+    beta = odd >> jnp.uint32(8)
+    carry_in = jnp.concatenate(
+        [jnp.zeros_like(beta[..., :1]), beta[..., :-1]], axis=-1)
+    return even + (alpha << jnp.uint32(8)) + carry_in
 
 
 def _carry_array(cols):
@@ -207,22 +304,25 @@ def _carry_array(cols):
 @functools.partial(jax.jit, static_argnames=("ctx",))
 def mont_mul(a, b, ctx: FieldCtx):
     """Montgomery product: a*b*R^{-1} mod q, inputs/outputs canonical
-    limbs (<2^16 each), values in [0, q)."""
+    limbs (<2^16 each), values in [0, q).  One variable*variable scan
+    comba + two constant-operand Toeplitz matmuls (REDC)."""
     L = ctx.n_limbs
-    a = a.astype(U32)
-    b = b.astype(U32)
+    shape = jnp.broadcast_shapes(a.shape, b.shape)
+    a = jnp.broadcast_to(a.astype(U32), shape)
+    b = jnp.broadcast_to(b.astype(U32), shape)
+    _guard(a, ctx, "mont_mul.a")
+    _guard(b, ctx, "mont_mul.b")
     mod_arr = jnp.asarray(ctx.mod_limbs, U32)
-    ninv = jnp.broadcast_to(jnp.asarray(ctx.ninv_limbs, U32), a.shape)
 
     # T = a * b  (2L limbs; a,b < q so T < q^2 fits exactly, carry-out 0)
     t = _carry_array(_comba_matmul(a, b))
 
     # m = (T mod R) * (-q^{-1} mod R) mod R  (low L limbs only)
-    m = _carry_array(_comba_matmul(t[..., :L], ninv, n_out=L))
+    m = _carry_array(_const_mul_cols(t[..., :L], ctx.neg_inv, L, L))
 
     # u = (T + m*q) / R : the low L limbs cancel; T + m*q < 2Rq < 2^(32L)
     # so the carry out of the top column is provably zero.
-    mq = _comba_matmul(m, jnp.broadcast_to(mod_arr, m.shape))
+    mq = _const_mul_cols(m, ctx.modulus, L, 2 * L)
     u = _carry_array(t + mq)[..., L:]
     # u < 2q: final conditional subtraction
     d, borrow = _sub_array(u, jnp.broadcast_to(mod_arr, u.shape))

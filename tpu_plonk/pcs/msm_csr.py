@@ -321,14 +321,127 @@ def window_sums_impl(points_packed, l1, l2, c: int):
     return _weighted_window_sums_impl(buckets.reshape(W, B, 3, 24), c)
 
 
-def window_sums(points_packed, l1, l2, c: int):
-    """Single-chip pipeline (jitted stages; see window_sums_impl)."""
+def window_sums(points_packed, l1, l2, c: int, use_pallas=None):
+    """Single-chip pipeline (jitted stages; see window_sums_impl).
+    On a real TPU the accumulate passes run through the fused Pallas
+    point-add kernel (curves/pallas_g1) — one kernel per list step with
+    every Fp intermediate in VMEM; the jnp path remains for CPU meshes
+    and shard_map tracing and is bit-identical (asserted in tests)."""
+    if use_pallas is None:
+        use_pallas = jax.default_backend() not in ("cpu",)
+    if use_pallas:
+        row_sums = _accumulate_pl(points_packed, jnp.asarray(l1))
+        row_pts = jnp.concatenate(
+            [_stack3(dg1.identity((1,))), row_sums], axis=0)
+        W, B, M2 = l2.shape
+        buckets = _accumulate_pl(row_pts,
+                                 jnp.asarray(l2).reshape(W * B, M2))
+        return _weighted_window_sums_pl(buckets.reshape(W, B, 3, 24), c)
     row_sums = _accumulate(points_packed, jnp.asarray(l1))
     row_pts = jnp.concatenate(
         [_stack3(dg1.identity((1,))), row_sums], axis=0)
     W, B, M2 = l2.shape
     buckets = _accumulate(row_pts, jnp.asarray(l2).reshape(W * B, M2))
     return _weighted_window_sums(buckets.reshape(W, B, 3, 24), c)
+
+
+# ---------------------------------------------------------------------------
+# Pallas-backed accumulate (real TPU): transposed (3, 24, B) state, the
+# fused complete-add kernel, signs folded into the kernel
+# ---------------------------------------------------------------------------
+
+def _accumulate_pl_impl(points, idx):
+    """Same contract as _accumulate_impl, but the point state rides in
+    transposed (3, 24, R) layout and each list step is one fused Pallas
+    add (gather + one transpose per step are the only XLA ops)."""
+    from ..curves import pallas_g1
+
+    R = idx.shape[0]
+
+    def body(m, acc):
+        e = jax.lax.dynamic_index_in_dim(idx, m, axis=1, keepdims=False)
+        rows = jnp.abs(e)
+        g = jnp.take(points, rows, axis=0)          # (R, 3, 24)
+        gt = jnp.transpose(g, (1, 2, 0))            # (3, 24, R)
+        rx, ry, rz = pallas_g1.add_t(
+            (acc[0], acc[1], acc[2]), (gt[0], gt[1], gt[2]),
+            sign=(e < 0))
+        return jnp.stack([rx, ry, rz])
+
+    ix, iy, iz = dg1.identity(())
+    acc0 = jnp.stack([
+        jnp.broadcast_to(ix[:, None], (24, R)),
+        jnp.broadcast_to(iy[:, None], (24, R)),
+        jnp.broadcast_to(iz[:, None], (24, R))])
+    out = jax.lax.fori_loop(0, idx.shape[1], body, acc0)
+    return jnp.transpose(out, (2, 0, 1))            # (R, 3, 24)
+
+
+_accumulate_pl = jax.jit(_accumulate_pl_impl)
+
+
+def _weighted_window_sums_pl_impl(buckets, c: int):
+    """_weighted_window_sums_impl with the scan-step adds routed
+    through the fused Pallas kernel (transposed state)."""
+    from ..curves import pallas_g1
+
+    def padd(p, q):
+        return jnp.stack(pallas_g1.add_t(
+            (p[0], p[1], p[2]), (q[0], q[1], q[2])))
+
+    def psub(p, q):
+        ny = dev.neg_mod(jnp.moveaxis(q[1], 0, -1), FP)
+        return jnp.stack(pallas_g1.add_t(
+            (p[0], p[1], p[2]),
+            (q[0], jnp.moveaxis(ny, -1, 0), q[2])))
+
+    W, B = buckets.shape[:2]
+    K = 1 << ((c - 1 + 1) // 2)
+    K = min(K, B)
+    G = B // K
+    assert G * K == B
+    # (W, G, K, 3, 24) -> (K, 3, 24, W*G) transposed scan stream
+    bk = buckets.reshape(W, G, K, 3, 24)
+    xs = jnp.flip(jnp.transpose(bk, (2, 3, 4, 0, 1))
+                  .reshape(K, 3, 24, W * G), 0)
+
+    def lvl1(carry, x):
+        run, tot = carry
+        run = padd(run, x)
+        tot = padd(tot, run)
+        return (run, tot), None
+
+    ix, iy, iz = dg1.identity(())
+    zero_wg = jnp.stack([
+        jnp.broadcast_to(co[:, None], (24, W * G)) for co in (ix, iy, iz)])
+    (a_g, t_g), _ = jax.lax.scan(lvl1, (zero_wg, zero_wg), xs)
+
+    # (3, 24, W*G) -> (G, 2, 3, 24, W) scan stream, highest g first
+    def regroup(v):
+        return jnp.transpose(v.reshape(3, 24, W, G), (3, 0, 1, 2))
+    xs2 = jnp.flip(jnp.stack([regroup(a_g), regroup(t_g)], axis=1), 0)
+
+    def lvl2(carry, x):
+        run2, tot2, sum_t = carry
+        run2 = padd(run2, x[0])
+        tot2 = padd(tot2, run2)
+        sum_t = padd(sum_t, x[1])
+        return (run2, tot2, sum_t), None
+
+    zero_w = jnp.stack([
+        jnp.broadcast_to(co[:, None], (24, W)) for co in (ix, iy, iz)])
+    (run2, tot2, sum_t), _ = jax.lax.scan(
+        lvl2, (zero_w, zero_w, zero_w), xs2)
+
+    gpart = psub(tot2, run2)
+    gpart = jax.lax.fori_loop(
+        0, K.bit_length() - 1, lambda _, p: padd(p, p), gpart)
+    out = padd(gpart, sum_t)                        # (3, 24, W)
+    return jnp.transpose(out, (2, 0, 1))            # (W, 3, 24)
+
+
+_weighted_window_sums_pl = jax.jit(_weighted_window_sums_pl_impl,
+                                   static_argnames=("c",))
 
 
 # ---------------------------------------------------------------------------
@@ -350,6 +463,32 @@ def fold_windows_host(window_pts, c: int):
 def sums_to_host(sums) -> list:
     """(W, 3, 24) device sums -> list of affine host points."""
     return dg1.points_from_device(_as_tuple(sums))
+
+
+def commit_many_packed(points_packed, coeffs_list, c: int,
+                       n_windows: int, max_len: int):
+    """Pipelined multi-commit (the within-round overlap of SURVEY §2.10
+    "Round pipeline"): all Montgomery->canonical conversions are
+    dispatched and pulled first, then each CSR build (host, ~0.3-1.3 s
+    at 2^16-2^20) runs WHILE the device crunches the previous
+    polynomial's window sums — the device queue stays full instead of
+    idling behind the host builder.  Transcript-legal because
+    commitments inside one prover round are all appended before the
+    next challenge is squeezed."""
+    canons = []
+    for cf in coeffs_list:
+        n = cf.shape[0]
+        if n > max_len:
+            raise ValueError("polynomial exceeds committed SRS")
+        canons.append((dev.from_mont(cf, dev.FR), n))
+    padded = [np.pad(np.asarray(cn), ((0, max_len - n), (0, 0)))
+              for cn, n in canons]
+    sums = []
+    for cn in padded:
+        l1, l2 = csr_from_limbs(cn, c, n_windows)
+        sums.append(window_sums(points_packed, jax.device_put(l1),
+                                jax.device_put(l2), c))
+    return [fold_windows_host(sums_to_host(s), c) for s in sums]
 
 
 def msm(points, scalars, c: int = 12, n_windows: int = None):
