@@ -74,3 +74,44 @@ def test_pairing_check():
         (g1.mul(g1.GEN, a), g2.GEN),
         (g1.neg(g1.GEN), g2.mul(g2.GEN, a + 1)),
     ])
+
+
+def test_fast_pairing_paths_match_reference():
+    """Round-2 verifier speedups must not change pairing values:
+    Fp2-on-the-twist Miller == untwisted-Fp12 oracle (post final exp),
+    Granger-Scott cyclotomic square/pow == generic Fp12 ops, and the
+    hard-part chain == plain pow by (p^4-p^2+1)/r."""
+    from tpu_plonk.fields import fp
+    from tpu_plonk.params import P_MOD, R_MOD
+
+    p = g1.mul(g1.GEN, 9)
+    q = g2.mul(g2.GEN, 31)
+    f_slow = pairing.miller_loop_f12(p, q)
+    f_fast = pairing.miller_loop(p, q)
+    assert (pairing.final_exponentiation(f_slow)
+            == pairing.final_exponentiation(f_fast))
+
+    # cyclotomic element: easy part of the miller output
+    m = fp.f12_mul(fp.f12_conj(f_slow), fp.f12_inv(f_slow))
+    m = fp.f12_mul(fp.f12_frobenius(fp.f12_frobenius(m)), m)
+    assert fp.f12_cyclo_sqr(m) == fp.f12_sqr(m)
+    assert fp.f12_cyclo_pow(m, 987654321) == fp.f12_pow(m, 987654321)
+
+    # chain == textbook exponent
+    e = (P_MOD ** 4 - P_MOD ** 2 + 1) // R_MOD
+    assert pairing.final_exponentiation(f_slow) == fp.f12_pow(m, e)
+
+
+def test_straus_msm_small_matches_naive():
+    from tpu_plonk.pcs import msm as hostmsm
+    import random
+    rng = random.Random(99)
+    pts = [g1.mul(g1.GEN, rng.randrange(1, 1 << 64)) for _ in range(9)]
+    pts.append(None)
+    sc = [rng.randrange(0, params.R_MOD) for _ in range(10)]
+    naive = None
+    for p, s in zip(pts, sc):
+        if p is not None:
+            naive = g1.add(naive, g1.mul(p, s))
+    assert hostmsm.msm_small(list(zip(pts, sc))) == naive
+    assert hostmsm.msm_small([(None, 5), (g1.GEN, 0)]) is None

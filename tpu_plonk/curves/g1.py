@@ -64,14 +64,21 @@ def double(p):
 
 
 def mul(p, k: int):
+    """[k]P, affine in/out.  Runs the inversion-free Jacobian ladder
+    internally (the affine `add` pays one Fp inversion per step, which
+    made the verifier's ~20-scalar-mul reconstruction its hottest
+    block); one inversion total to normalize back to affine."""
+    if p is None:
+        return None
     k %= R_MOD
-    r = None
-    while k:
-        if k & 1:
-            r = add(r, p)
-        p = add(p, p)
-        k >>= 1
-    return r
+    if k == 0:
+        return None
+    x, y, z = _jmul(p, k)
+    if z == 0:
+        return None
+    zi = pow(z, -1, P_MOD)
+    zi2 = zi * zi % P_MOD
+    return (x * zi2 % P_MOD, y * zi2 * zi % P_MOD)
 
 
 def to_bytes(p) -> bytes:

@@ -168,7 +168,15 @@ def f12_mul(a, b):
 
 
 def f12_sqr(a):
-    return f12_mul(a, a)
+    # complex squaring: (a0 + a1 w)^2 with w^2 = v:
+    #   c0 = (a0 + a1)(a0 + v a1) - t - v t,  c1 = 2t,  t = a0 a1
+    a0, a1 = a
+    t = f6_mul(a0, a1)
+    vt = f6_mul_by_nonresidue(t)
+    c0 = f6_sub(f6_sub(
+        f6_mul(f6_add(a0, a1), f6_add(a0, f6_mul_by_nonresidue(a1))),
+        t), vt)
+    return (c0, f6_add(t, t))
 
 
 def f12_inv(a):
@@ -216,4 +224,75 @@ def f12_pow(a, e):
             r = f12_mul(r, a)
         a = f12_sqr(a)
         e >>= 1
+    return r
+
+
+# --- cyclotomic-subgroup fast ops (verifier final exponentiation) -----------
+#
+# After the easy part of the final exponentiation, f lies in the
+# cyclotomic subgroup (f^(p^4-p^2+1) == 1), where (a) inversion is
+# conjugation and (b) squaring admits the Granger–Scott Fp4-based
+# shortcut.  Viewing Fp12 = Fp4[w] with Fp4 = Fp2[s]/(s^2 - xi), s=w^3:
+# the six Fp2 coefficients regroup as g0=(z0,z1), g1=(z2,z3),
+# g2=(z4,z5) with z0=c0[0], z1=c1[1], z2=c1[0], z3=c0[2], z4=c0[1],
+# z5=c1[2].  Correctness is asserted against f12_sqr on cyclotomic
+# elements in tests/test_pairing.py.
+
+
+def _fp4_sqr(a, b):
+    """(a + b*s)^2 in Fp4 = Fp2[s]/(s^2 - xi)."""
+    t0 = f2_sqr(a)
+    t1 = f2_sqr(b)
+    c0 = f2_add(f2_mul_by_nonresidue(t1), t0)
+    c1 = f2_sub(f2_sub(f2_sqr(f2_add(a, b)), t0), t1)
+    return c0, c1
+
+
+def f12_cyclo_sqr(f):
+    """Granger–Scott squaring; valid ONLY for cyclotomic-subgroup f."""
+    (c00, c01, c02), (c10, c11, c12) = f
+    z0, z4, z3 = c00, c01, c02
+    z2, z1, z5 = c10, c11, c12
+
+    def three_minus_two(t, z):
+        # 3t - 2z
+        return f2_sub(f2_add(f2_add(t, t), t), f2_add(z, z))
+
+    def three_plus_two(t, z):
+        return f2_add(f2_add(f2_add(t, t), t), f2_add(z, z))
+
+    t0, t1 = _fp4_sqr(z0, z1)
+    z0 = three_minus_two(t0, z0)
+    z1 = three_plus_two(t1, z1)
+    t0, t1 = _fp4_sqr(z2, z3)
+    t2, t3 = _fp4_sqr(z4, z5)
+    z4 = three_minus_two(t0, z4)
+    z5 = three_plus_two(t1, z5)
+    z2 = three_plus_two(f2_mul_by_nonresidue(t3), z2)
+    z3 = three_minus_two(t2, z3)
+    return ((z0, z4, z3), (z2, z1, z5))
+
+
+def f12_cyclo_pow(a, e: int):
+    """a^e for cyclotomic a, e >= 0: NAF digits so the -1 steps reuse
+    the free conjugation-inverse; squarings are Granger–Scott."""
+    if e == 0:
+        return F12_ONE
+    naf = []
+    while e:
+        if e & 1:
+            d = 2 - (e & 3)
+            e -= d
+        else:
+            d = 0
+        naf.append(d)
+        e >>= 1
+    a_conj = f12_conj(a)
+    r = F12_ONE
+    for d in reversed(naf):
+        r = f12_cyclo_sqr(r)
+        if d == 1:
+            r = f12_mul(r, a)
+        elif d == -1:
+            r = f12_mul(r, a_conj)
     return r

@@ -42,14 +42,12 @@ def aggregate_polys(polys, challenge: int):
 
 
 def aggregate_commitments(commitments, challenge: int):
-    acc = hostmsm.J_INF
+    pairs = []
     ch = 1
     for c in commitments:
-        if c is not None:
-            acc = hostmsm.jac_add(
-                acc, hostmsm.jac_from_affine(g1.mul(c, ch)))
+        pairs.append((c, ch))
         ch = ch * challenge % R_MOD
-    return hostmsm.jac_to_affine(acc)
+    return hostmsm.msm_small(pairs)
 
 
 def aggregate_values(values, challenge: int) -> int:
@@ -74,22 +72,22 @@ def batch_check(points, witnesses, agg_commitments, agg_values, u: int, srs):
 
       e(sum u^i W_i, [tau]G2) == e(sum u^i (C_i - v_i G1 + point_i W_i), G2)
     """
-    lhs_w = hostmsm.J_INF
-    rhs = hostmsm.J_INF
+    # One flat Straus MSM each side:
+    #   lhs = sum u^i W_i
+    #   rhs = sum u^i C_i + (-sum u^i v_i) G + sum (u^i point_i) W_i
+    lhs_pairs = []
+    rhs_pairs = []
+    g_scalar = 0
     upow = 1
     for pt, w, c, v in zip(points, witnesses, agg_commitments, agg_values):
-        lhs_w = hostmsm.jac_add(lhs_w,
-                                hostmsm.jac_from_affine(g1.mul(w, upow)))
-        term = hostmsm.jac_from_affine(c)
-        term = hostmsm.jac_add(term, hostmsm.jac_from_affine(
-            g1.neg(g1.mul(g1.GEN, v))))
-        term = hostmsm.jac_add(term, hostmsm.jac_from_affine(
-            g1.mul(w, pt)))
-        rhs = hostmsm.jac_add(rhs, hostmsm.jac_from_affine(
-            g1.mul(hostmsm.jac_to_affine(term), upow)))
+        lhs_pairs.append((w, upow))
+        rhs_pairs.append((c, upow))
+        rhs_pairs.append((w, upow * pt % R_MOD))
+        g_scalar = (g_scalar - upow * v) % R_MOD
         upow = upow * u % R_MOD
-    lhs_aff = hostmsm.jac_to_affine(lhs_w)
-    rhs_aff = hostmsm.jac_to_affine(rhs)
+    rhs_pairs.append((g1.GEN, g_scalar))
+    lhs_aff = hostmsm.msm_small(lhs_pairs)
+    rhs_aff = hostmsm.msm_small(rhs_pairs)
     return pairing.pairing_check([
         (lhs_aff, srs.g2_tau),
         (g1.neg(rhs_aff) if rhs_aff else None, srs.g2_gen),

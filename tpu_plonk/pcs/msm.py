@@ -77,6 +77,59 @@ def jac_neg(p):
     return (p[0], (-p[1]) % P_MOD, p[2])
 
 
+def _wnaf(k: int, w: int):
+    """Width-w NAF digits (LSB first): odd digits in (-2^(w-1), 2^(w-1))."""
+    out = []
+    while k:
+        if k & 1:
+            d = k & ((1 << w) - 1)
+            if d >= (1 << (w - 1)):
+                d -= 1 << w
+            k -= d
+        else:
+            d = 0
+        out.append(d)
+        k >>= 1
+    return out
+
+
+def msm_jac(pairs, w: int = 5):
+    """Straus/wNAF multi-scalar sum for SMALL point sets (the verifier's
+    ~20-point linearization/fold MSMs — VERDICT round-1 task 10): shared
+    doubling chain, per-point odd-multiple tables, ~255/(w+1) adds per
+    point.  Affine-or-None points in, Jacobian out."""
+    tables = []
+    nafs = []
+    for p, s in pairs:
+        s = s % R_MOD
+        if p is None or s == 0:
+            continue
+        base = jac_from_affine(p)
+        twice = _jac_double_nonzero(base)
+        tbl = [base]  # odd multiples 1P, 3P, ..., (2^(w-1)-1)P
+        for _ in range((1 << (w - 2)) - 1):
+            tbl.append(jac_add(tbl[-1], twice))
+        tables.append(tbl)
+        nafs.append(_wnaf(s, w))
+    if not tables:
+        return J_INF
+    top = max(len(n) for n in nafs)
+    acc = J_INF
+    for i in range(top - 1, -1, -1):
+        acc = jac_double(acc)
+        for tbl, naf in zip(tables, nafs):
+            if i < len(naf) and naf[i]:
+                d = naf[i]
+                q = tbl[abs(d) >> 1]
+                acc = jac_add(acc, q if d > 0 else jac_neg(q))
+    return acc
+
+
+def msm_small(pairs, w: int = 5):
+    """Affine-out wrapper over msm_jac."""
+    return jac_to_affine(msm_jac(pairs, w))
+
+
 def msm(points, scalars, window_bits: int = 8):
     """Pippenger: sum scalars[i] * points[i] (affine in, affine out)."""
     assert len(points) == len(scalars)

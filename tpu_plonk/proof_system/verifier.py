@@ -93,13 +93,7 @@ def verify(proof: Proof, vk, public_inputs: dict, srs,
 
 
 def _msm_pairs(pairs):
-    acc = hostmsm.J_INF
-    for point, scalar in pairs:
-        if point is None or scalar % R_MOD == 0:
-            continue
-        acc = hostmsm.jac_add(
-            acc, hostmsm.jac_from_affine(g1.mul(point, scalar)))
-    return hostmsm.jac_to_affine(acc)
+    return hostmsm.msm_small(pairs)
 
 
 class Verifier:
