@@ -3,7 +3,7 @@
 import random
 
 from tpu_plonk.params import R_MOD
-from tpu_plonk.cs import Composer
+from tpu_plonk.cs import Composer, PointVar
 from tpu_plonk.curves import jubjub
 
 rng = random.Random(0xC0DE)
@@ -129,3 +129,38 @@ def test_assert_equal_public_point():
     pub = jubjub.mul(jubjub.GENERATOR, k)
     cs.assert_equal_public_point(p, pub)
     assert cs.check_satisfied()
+
+
+def test_canonical_bit_decompose():
+    from tpu_plonk.params import R_MOD
+    cs = Composer()
+    val = R_MOD - 12345          # close to the modulus: exercises the
+    v = cs.add_input(val)        # equal-prefix comparison chain
+    bits = cs.canonical_bit_decompose(v)
+    assert cs.check_satisfied()
+    assert sum(cs.value(b) << i for i, b in enumerate(bits)) == val
+
+    # soundness: the non-canonical lift val + r needs 256 bits, but any
+    # in-width tamper (flip the top bit pattern to a >= r value) must
+    # violate either the accumulator or the comparison chain
+    cs2 = Composer()
+    v2 = cs2.add_input(5)
+    bvars = cs2.canonical_bit_decompose(v2)
+    lift = 5 + R_MOD
+    assert lift.bit_length() == 255  # the lift fits 255 bits: the
+    for i, b in enumerate(bvars):    # accumulator alone would accept
+        cs2.witness[b] = (lift >> i) & 1   # it; the chain must reject
+    assert not cs2.check_satisfied()
+
+
+def test_variable_base_scalar_mul_bits():
+    from tpu_plonk.curves import jubjub
+    cs = Composer()
+    k = 0xDEADBEEF12345
+    kv = cs.add_input(k)
+    bits = cs.canonical_bit_decompose(kv)
+    p = jubjub.mul(jubjub.GENERATOR, 7)
+    pv = PointVar(cs.add_input(p[0]), cs.add_input(p[1]), p)
+    out = cs.variable_base_scalar_mul_bits(bits, pv)
+    assert cs.check_satisfied()
+    assert out.point == jubjub.mul(p, k)

@@ -347,6 +347,58 @@ class Composer:
         self.assert_equal(sacc_var, scalar_var)
         return acc
 
+    def canonical_bit_decompose(self, var: int, num_bits: int = 255):
+        """Decompose `var` into `num_bits` boolean witness bits whose
+        integer value is PROVABLY the canonical representative (< r):
+        bit accumulator ties the bits to `var` mod r, and an MSB-first
+        equal-prefix comparison chain against the modulus bits enforces
+        sum(b_i 2^i) < r as an integer, so the decomposition is unique.
+        Returns bit variables LSB-first.  (The range/ladder widgets
+        alone only fix the value mod r — two integer lifts of the same
+        field element would otherwise both satisfy them; VERDICT
+        round-1 task 9.)"""
+        assert num_bits >= R_MOD.bit_length(), \
+            "canonical decomposition needs the full modulus width"
+        value = self.witness[var]
+        bits = [(value >> i) & 1 for i in range(num_bits)]
+        bit_vars = [self.add_input(b) for b in bits]
+        for b in bit_vars:
+            self.boolean_gate(b)
+        acc_var = self.zero_var
+        for i in range(num_bits - 1, -1, -1):
+            acc_var = self.add((2, acc_var), (1, bit_vars[i]), 0)
+        self.assert_equal(acc_var, var)
+        # canonicity: while the bit prefix equals the modulus prefix,
+        # a 1-bit where the modulus has 0 is forbidden; full equality
+        # (value == r, impossible for a reduced witness) is forbidden
+        # at the end.
+        eq_var = self.one_var
+        for i in range(num_bits - 1, -1, -1):
+            r_bit = (R_MOD >> i) & 1
+            if r_bit:
+                eq_var = self.mul(1, eq_var, bit_vars[i], 0)
+            else:
+                self.mul_gate(eq_var, bit_vars[i], self.zero_var, 1, 0, 0)
+        self.constrain_to_constant(eq_var, 0)
+        return bit_vars
+
+    def variable_base_scalar_mul_bits(self, bit_vars, point: PointVar
+                                      ) -> PointVar:
+        """[c] * point where c is given as boolean bit variables
+        (LSB-first, already boolean-constrained — e.g. the output of
+        canonical_bit_decompose).  MSB-first double-and-add; the
+        conditional addend is (b*x_P, b*(y_P-1)+1), i.e. P or the
+        Edwards identity."""
+        acc = PointVar(self.zero_var, self.one_var, jubjub.IDENTITY)
+        for i in range(len(bit_vars) - 1, -1, -1):
+            b = bit_vars[i]
+            acc = self.point_addition_gate(acc, acc)
+            x_t = self.mul(1, b, point.x, 0)
+            y_t = self.big_mul(1, b, point.y, (R_MOD - 1, b), 1)
+            tp = point.point if self.witness[b] else jubjub.IDENTITY
+            acc = self.point_addition_gate(acc, PointVar(x_t, y_t, tp))
+        return acc
+
     def assert_equal_public_point(self, point: PointVar, affine):
         """Pin a circuit point to a public point via public inputs
         (reference circuits.rs:65)."""

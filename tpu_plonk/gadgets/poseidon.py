@@ -8,9 +8,16 @@ ARK -> S-box -> MDS per round with per-element round constants.
 
 Constants are generated with the Grain-LFSR procedure of the Poseidon
 reference implementation (generate_parameters_grain.sage) and a Cauchy
-MDS matrix — deterministic and documented.  Byte parity with
-dusk-poseidon 0.22's checked-in constants is fixture-gated; swap
-`round_constants()`/`mds_matrix()` if pinned fixtures disagree.
+MDS matrix — deterministic and documented.
+
+INTEROP WARNING: dusk-hades 0.22 ships its own checked-in constant set
+which is NOT on this machine and is almost certainly different, so
+hashes produced here are **not interoperable with the dusk stack** —
+self-consistency (native == gadget == batched device) is tested, dusk
+cross-compatibility is not.  To pin parity when a dusk fixture becomes
+available: check the vector into tests/vectors/, gate it in
+tests/test_gadgets.py, and swap `round_constants()`/`mds_matrix()` for
+the crate's tables (one module; nothing else changes).
 
 Cost: the sponge gadget emits ~1.1k gates per permutation
 (reference circuits.rs:70 calls sponge::gadget).

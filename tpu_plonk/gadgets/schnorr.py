@@ -11,11 +11,15 @@ Scheme (Poseidon challenge):
             s  = r + c * sk mod order
   verify:   s * G == R + c * pk
 
-The gadget verifies the group equation in-circuit (fixed-base ladder
-for s*G, variable-base mul for c*pk, complete additions); the challenge
-scalar c is recomputed natively by the verifier and passed as a public
-input — in-circuit challenge truncation is a documented TODO (it needs
-a canonical-decomposition range argument to be non-malleable).
+The gadget verifies the group equation fully in-circuit: the challenge
+is the in-circuit Poseidon sponge of (R, pk, m), canonically
+bit-decomposed (composer.canonical_bit_decompose proves the bits are
+the unique integer lift < r), and fed to a boolean-bit variable-base
+ladder.  No reduction gadget is needed: pk lies in the prime-order
+subgroup (cofactor-8 outliers are rejected by native verify/keygen),
+where [c]pk == [c mod order]pk for the full 255-bit canonical c — so
+the circuit scalar-mul agrees with the native `c % JUBJUB_ORDER`
+arithmetic exactly (VERDICT round-1 task 9).
 """
 
 from ..params import R_MOD, JUBJUB_ORDER
@@ -57,17 +61,22 @@ def verify(pk, message: int, signature) -> bool:
 
 
 def verify_gadget(cs: Composer, pk: PointVar, signature, message: int):
-    """In-circuit verification: s*G == R + c*pk, with c recomputed
-    natively and pinned as a public input."""
+    """In-circuit verification: s*G == R + H(R, pk, m)*pk with the
+    challenge hashed, canonically decomposed, and scalar-multiplied
+    entirely inside the circuit.  `pk` must be a prime-order-subgroup
+    point (see module docstring)."""
     R, s = signature
-    c = _challenge(R, (cs.value(pk.x), cs.value(pk.y)), message)
     r_var = PointVar(cs.add_input(R[0]), cs.add_input(R[1]), R)
     s_var = cs.add_input(s)
-    c_var = cs.add_input(c)
-    cs.constrain_to_constant(c_var, 0, (-c) % R_MOD)  # c public
+    m_var = cs.add_input(message % R_MOD)
+    cs.constrain_to_constant(m_var, 0, (-(message % R_MOD)) % R_MOD)
+
+    c_var = poseidon.sponge_gadget(
+        cs, [r_var.x, r_var.y, pk.x, pk.y, m_var])
+    c_bits = cs.canonical_bit_decompose(c_var)
 
     lhs = cs.fixed_base_scalar_mul(s_var, jubjub.GENERATOR)
-    c_pk = cs.variable_base_scalar_mul(c_var, pk)
+    c_pk = cs.variable_base_scalar_mul_bits(c_bits, pk)
     rhs = cs.point_addition_gate(r_var, c_pk)
     cs.assert_equal_point(lhs, rhs)
     return lhs
