@@ -1,0 +1,101 @@
+"""End-to-end scale prove on one TPU chip (VERDICT round-1 task 3 /
+BASELINE.json configs 3-4): build a 2^log_gates circuit, generate the
+SRS on device, preprocess on device (phased, no host NTTs), prove with
+the device engine + CSR MSM commits, verify with the host verifier.
+
+Usage:  python scripts/prove_scale.py [log_gates] [--poseidon]
+Prints one JSON line with stage timings.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+import jax  # noqa: E402
+
+jax.config.update("jax_compilation_cache_dir", os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    ".cache", "jax"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+
+
+def build_circuit(log_gates: int, poseidon: bool):
+    from tpu_plonk.cs import Composer
+    from tpu_plonk.gadgets import poseidon as pos
+
+    cs = Composer()
+    prev = cs.add_input(3)
+    if poseidon:
+        # config-3 shape: Poseidon sponge gadgets + arithmetic fill
+        h = pos.sponge_gadget(cs, [prev, cs.add_input(5), cs.add_input(7),
+                                   cs.add_input(11)])
+        prev = h
+    target = (1 << log_gates) - 1
+    while cs.n_gates < target:
+        prev = cs.mul(1, prev, prev, 3)
+    return cs
+
+
+def main():
+    log_gates = int(sys.argv[1]) if len(sys.argv) > 1 else 18
+    poseidon = "--poseidon" in sys.argv
+
+    from tpu_plonk.pcs import srs_device
+    from tpu_plonk.pcs.msm_csr import signed_window_count  # noqa: F401
+    from tpu_plonk.proof_system.preprocess import preprocess_device
+    from tpu_plonk.proof_system.engine_device import prove_device, DevicePK
+    from tpu_plonk.proof_system.verifier import verify
+
+    out = {"log_gates": log_gates, "poseidon": poseidon,
+           "device": str(jax.devices()[0])}
+
+    t0 = time.time()
+    cs = build_circuit(log_gates, poseidon)
+    n = cs.padded_size()
+    out["n"] = n
+    out["compose_s"] = round(time.time() - t0, 1)
+
+    t0 = time.time()
+    packed = srs_device.device_srs_points(n + 8)
+    out["srs_s"] = round(time.time() - t0, 1)
+
+    committer = srs_device.PackedCommitter(packed, c=13)
+
+    t0 = time.time()
+    pk, vk = preprocess_device(cs, committer)
+    out["preprocess_s"] = round(time.time() - t0, 1)
+
+    t0 = time.time()
+    dpk = DevicePK(pk)
+    out["devicepk_s"] = round(time.time() - t0, 1)
+
+    t0 = time.time()
+    proof = prove_device(cs, pk, None, dpk=dpk,
+                         commit_fn=committer.commit,
+                         commit_many_fn=committer.commit_many)
+    out["prove_first_s"] = round(time.time() - t0, 1)
+
+    t0 = time.time()
+    proof = prove_device(cs, pk, None, dpk=dpk,
+                         commit_fn=committer.commit,
+                         commit_many_fn=committer.commit_many)
+    out["prove_steady_s"] = round(time.time() - t0, 1)
+    out["gates_per_s"] = round(n / out["prove_steady_s"], 0)
+
+    # host verification (g2 pair from the device SRS derivation)
+    class _SrsShim:
+        g2_gen, g2_tau = srs_device.srs_g2()
+    t0 = time.time()
+    ok = verify(proof, vk, cs.pi, _SrsShim)
+    out["verify_s"] = round(time.time() - t0, 2)
+    out["verified"] = bool(ok)
+    print(json.dumps(out), flush=True)
+    assert ok
+
+
+if __name__ == "__main__":
+    main()

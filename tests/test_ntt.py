@@ -89,3 +89,27 @@ def test_poly_mul_fft_matches_schoolbook():
     assert poly.mul_fft([], q) == []
     small = poly.mul_fft([1, 2], [3, 4])
     assert small == [3, 10, 8]
+
+
+def test_fourstep_matches_oracle():
+    """Single-chip four-step decomposition (the 2^20+ scale route) is
+    exact at small sizes vs the host Domain oracle, both directions."""
+    import numpy as np
+    import jax.numpy as jnp
+    from tpu_plonk.params import FR_MONT_R
+    from tpu_plonk.fields import limbs
+    from tpu_plonk.poly import ntt as nttmod
+
+    rinv = pow(FR_MONT_R, -1, R_MOD)
+    for log_n in (6, 9):
+        n = 1 << log_n
+        coeffs = [(i * 31 + 7) % R_MOD for i in range(n)]
+        x = jnp.asarray(limbs.fr_to_limbs(
+            [c * FR_MONT_R % R_MOD for c in coeffs]))
+        y = nttmod.ntt_4step(x, log_n)
+        got = [v * rinv % R_MOD for v in limbs.limbs_to_ints(np.asarray(y))]
+        assert got == Domain(n).ntt(coeffs)
+        xb = nttmod.ntt_4step(y, log_n, inverse=True)
+        back = [v * rinv % R_MOD
+                for v in limbs.limbs_to_ints(np.asarray(xb))]
+        assert back == coeffs

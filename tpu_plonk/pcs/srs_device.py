@@ -131,3 +131,10 @@ class PackedCommitter:
         l1, l2 = msm_csr.csr_from_limbs(canon, self.c, self.n_windows)
         s = msm_csr.window_sums(self.points, l1, l2, self.c)
         return msm_csr.fold_windows_host(msm_csr.sums_to_host(s), self.c)
+
+    def commit_many(self, coeffs_list):
+        """Pipelined batch commit (host CSR build overlapped with the
+        device MSM of the previous polynomial)."""
+        return msm_csr.commit_many_packed(
+            self.points, coeffs_list, self.c, self.n_windows,
+            self.max_len)

@@ -93,13 +93,93 @@ def _jitted(log_n: int, inverse: bool):
 MXU_THRESHOLD_LOG_N = 17
 
 
+#: sizes >= this run the single-chip four-step decomposition (two
+#: batched half-size transforms + one twiddle + transposes): the MXU
+#: int8-DFT trace stops compiling in reasonable time past ~2^19 on the
+#: remote compiler, and the Pease gather is memory-bound at scale
+#: (measured 11 s @ 2^22); four-step sub-transforms stay <= 2^11 where
+#: both compile and run fast.
+FOURSTEP_THRESHOLD_LOG_N = 20
+
+
+@functools.lru_cache(maxsize=None)
+def _fourstep_tw(log_n: int, log_r: int, inverse: bool):
+    """(c, r) twiddle table W[j2, k1] = omega^(+-j2*k1), Montgomery."""
+    n = 1 << log_n
+    r = 1 << log_r
+    c = n >> log_r
+    dom = Domain(n)
+    w = dom.omega_inv if inverse else dom.omega
+    # row j2 is a geometric sequence with ratio w^j2: build with numpy
+    # object ints (vectorized enough at 2^22: c*r = n entries)
+    out = np.empty((c, r), dtype=object)
+    row_base = 1
+    for j2 in range(c):
+        acc = FR_MONT_R % R_MOD
+        ratio = pow(w, j2, R_MOD)
+        rowv = out[j2]
+        for k1 in range(r):
+            rowv[k1] = acc
+            acc = acc * ratio % R_MOD
+    return np.asarray(limbs.ints_to_limbs(
+        out.reshape(-1).tolist(), 16)).reshape(c, r, 16)
+
+
+@functools.lru_cache(maxsize=None)
+def _fourstep_jitted(log_n: int, inverse: bool):
+    """One cached jit per (size, direction) — a fresh closure per call
+    would retrace every invocation (measured 6 s/call at 2^18).  The
+    twiddle table is a runtime ARG, not a captured constant: the remote
+    TPU compiler rejects trace-embedded 50-750 MB constants (see
+    ntt_mxu and the git history on W2/twiddles)."""
+    n = 1 << log_n
+    log_r = log_n // 2
+    r = 1 << log_r
+    c = n >> log_r
+    log_c = log_n - log_r
+
+    from . import ntt_mxu
+
+    def run(v, twj):
+        # sub-transforms are the batched MXU int8-DFT kernels (each
+        # itself 2-level, so the full transform is 3 MXU levels with
+        # radixes <= 2^6 and a few-MB W2 each); the butterfly
+        # formulation here measured 3.5 s at 2^18 — layout-hostile.
+        m = v.reshape(r, c, 16)
+        a = jnp.swapaxes(m, 0, 1)                    # (c, r, 16) rows j2
+        a = ntt_mxu.ntt_mxu_batched(a, log_r, inverse=inverse)
+        a = dev.mont_mul(a, twj, dev.FR)             # * w^(j2 k1)
+        b = jnp.swapaxes(a, 0, 1)                    # (r, c, 16) rows k1
+        y = ntt_mxu.ntt_mxu_batched(b, log_c, inverse=inverse)
+        return jnp.swapaxes(y, 0, 1).reshape(n, 16)  # X[k1 + r k2]
+
+    return run
+
+
+@functools.lru_cache(maxsize=None)
+def _fourstep_tw_dev(log_n: int, inverse: bool):
+    return jnp.asarray(_fourstep_tw(log_n, log_n // 2, inverse))
+
+
+def ntt_4step(x, log_n: int, inverse: bool = False):
+    """Single-chip four-step NTT (natural order in/out): inner size-r
+    transforms batched over columns, twiddle scale, outer size-c
+    transforms batched over rows.  Index math (X[k1 + r*k2] from
+    x[j1*c + j2]) mirrors dist/ntt_sharded.py without the all_to_all —
+    transposes stay on-chip."""
+    return _fourstep_jitted(log_n, inverse)(
+        x, _fourstep_tw_dev(log_n, inverse))
+
+
 def ntt(x, log_n: int):
     """Forward NTT: coefficients -> evaluations (both natural order,
-    Montgomery limbs).  Routed through the constant-geometry Pease
-    kernel (O(1) trace size — the butterfly path compiled in O(log n)
-    distinct stages, 643 s cold at 2^14 on the TPU tunnel); the MXU
-    int8-DFT path takes over at large sizes where its matmul
-    formulation wins."""
+    Montgomery limbs).  Size-routed: constant-geometry Pease kernel at
+    small sizes (O(1) trace — the butterfly path compiled in O(log n)
+    distinct stages, 643 s cold at 2^14 on the TPU tunnel), the MXU
+    int8-DFT path in the mid range, the four-step decomposition at
+    scale."""
+    if log_n >= FOURSTEP_THRESHOLD_LOG_N:
+        return ntt_4step(x, log_n)
     if log_n >= MXU_THRESHOLD_LOG_N:
         from . import ntt_mxu
         return ntt_mxu.ntt_mxu(x, log_n)
@@ -132,6 +212,8 @@ def ntt_batched(x, log_n: int, inverse: bool = False):
 
 def intt(x, log_n: int):
     """Inverse NTT: evaluations -> coefficients (Montgomery limbs)."""
+    if log_n >= FOURSTEP_THRESHOLD_LOG_N:
+        return ntt_4step(x, log_n, inverse=True)
     if log_n >= MXU_THRESHOLD_LOG_N:
         from . import ntt_mxu
         return ntt_mxu.ntt_mxu(x, log_n, inverse=True)

@@ -220,31 +220,43 @@ def dft_level(x_digits, w2, radix: int):
 
 
 @functools.lru_cache(maxsize=None)
-def _jitted_mxu(log_n: int, radix: int, inverse: bool = False):
+def _jitted_mxu(log_n: int, radix: int, inverse: bool = False,
+                batch: int = 1):
+    """With batch B > 1, transforms B independent size-n vectors in one
+    program — the batch widens the matmul column dimension (ncols =
+    B*C / B*R), which the MXU eats for free.  This is what makes the
+    3-level composition in poly/ntt.ntt_4step work at 2^20+: sub-size
+    2^10-2^11 keeps each W2 at a few MB instead of the quadratic 3-12
+    GB a single 2-level decomposition would need."""
     n = 1 << log_n
     c = n // radix
+    B = batch
 
     # constants passed as runtime arguments, NOT closed-over trace
     # constants: a trace-embedded 50-750MB W2 blows past the remote
     # compiler's request-size limit (and bloats the executable).
     @jax.jit
     def run(x, w2_inner, w2_outer, tw):
-        # x: (n, 16) u16 Montgomery limbs, A[n2][n1] = x[n1 + C*n2]
-        a = limbs_to_digits(x).reshape(n // c, c, DX)    # (R, C, DX)
+        # x: (B, n, 16) u16 Montgomery limbs, A_b[n2][n1] = x_b[n1+C*n2]
+        a = limbs_to_digits(x.reshape(B * n, 16))
+        a = a.reshape(B, radix, c, DX)
+        a = jnp.transpose(a, (1, 0, 2, 3)).reshape(radix, B * c, DX)
         b = dft_level(a, w2_inner, radix)                # DFT_R over rows
         # twiddle boundary: digits -> limbs, mont-mul, -> digits
-        b_limbs = digits_to_limbs(b.reshape(radix * c, DX))
-        b_limbs = b_limbs.reshape(radix, c, 16)
+        b_limbs = digits_to_limbs(b.reshape(radix * B * c, DX))
+        b_limbs = b_limbs.reshape(radix, B, c, 16)
         tw_t = jnp.transpose(tw, (1, 0, 2))              # (R, C, 16)
-        b_limbs = dev.mont_mul(b_limbs, tw_t, dev.FR)
-        bt = limbs_to_digits(b_limbs.reshape(radix * c, 16))
-        bt = bt.reshape(radix, c, DX)
-        bt = jnp.transpose(bt, (1, 0, 2))                # (C, R, DX)
+        b_limbs = dev.mont_mul(b_limbs, tw_t[:, None], dev.FR)
+        bt = limbs_to_digits(b_limbs.reshape(radix * B * c, 16))
+        bt = bt.reshape(radix, B, c, DX)
+        bt = jnp.transpose(bt, (2, 1, 0, 3)).reshape(c, B * radix, DX)
         xo = dft_level(bt, w2_outer, c)                  # DFT_C
-        out = digits_to_limbs(xo.reshape(n, DX))
+        xo = xo.reshape(c, B, radix, DX)
+        xo = jnp.transpose(xo, (1, 0, 2, 3))             # (B, C, R, DX)
+        out = digits_to_limbs(xo.reshape(B * n, DX))
         # canonicalize: lazily-reduced (< 2^256) -> [0, q)
         out = dev.sub_mod(out, jnp.zeros_like(out), dev.FR)
-        return _canonical(out)
+        return _canonical(out).reshape(B, n, 16)
 
     return run
 
@@ -263,10 +275,17 @@ def _canonical(x):
 def ntt_mxu(x, log_n: int, radix: int = None, inverse: bool = False):
     """(i)NTT via MXU DFT levels; x (n,16) Montgomery limbs in natural
     order -> transform in natural order (iNTT includes the 1/n)."""
+    return ntt_mxu_batched(x[None], log_n, radix, inverse)[0]
+
+
+def ntt_mxu_batched(x, log_n: int, radix: int = None,
+                    inverse: bool = False):
+    """Batched (i)NTT: x (B, n, 16) -> (B, n, 16), each row transformed
+    independently (natural order both ways; iNTT includes the 1/n)."""
     n = 1 << log_n
     if radix is None:
         radix = 1 << (log_n - log_n // 2)
-    run = _jitted_mxu(log_n, radix, inverse)
+    run = _jitted_mxu(log_n, radix, inverse, batch=x.shape[0])
     return run(x, _dft_matrix(radix, log_n, 0, inverse),
                _dft_matrix(n // radix, log_n, 1, inverse),
                _twiddle_table(log_n, radix, inverse))

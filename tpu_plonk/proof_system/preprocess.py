@@ -66,7 +66,47 @@ class VerifierKey:
         return VerifierKey(n, sels, sigmas)
 
 
-def preprocess(composer, srs):
+def preprocess_device(composer, committer):
+    """Scale-path preprocessing (2^18+): selector/sigma columns are
+    converted once, iNTT'd on DEVICE, and committed through the device
+    CSR MSM — no host NTT ever runs (the host transforms at 2^20 take
+    hours; this takes seconds plus the commit MSMs).  Returns a
+    ProverKey whose coefficient tables are device Montgomery arrays
+    (engine_device.to_dev passes them through) with no host ext tables,
+    and the VerifierKey.  VERDICT round-1 task 3."""
+    from ..poly import ntt as nttmod
+    from .engine_device import to_dev
+
+    n = composer.padded_size()
+    log_n = n.bit_length() - 1
+    dom = Domain(n)
+    ext = Domain(4 * n)
+    pad = n - composer.n_gates
+    wire_vars = {w: composer.wires[w] + [0] * pad for w in "abcd"}
+
+    sel_coeffs, sel_commits = {}, {}
+    for name in SELECTOR_NAMES:
+        col = to_dev(composer.q[name] + [0] * pad)
+        coeffs = nttmod.intt(col, log_n)
+        sel_coeffs[name] = coeffs
+        sel_commits[name] = committer.commit(coeffs)
+
+    sigma_evals, _ = build_sigma_evals(composer, n)
+    sigma_coeffs = [nttmod.intt(to_dev(se), log_n) for se in sigma_evals]
+    sigma_commits = [committer.commit(sc) for sc in sigma_coeffs]
+
+    pk = ProverKey(n, dom, ext, sel_coeffs, None, sigma_coeffs, None,
+                   wire_vars, None, None, None)
+    return pk, VerifierKey(n, sel_commits, sigma_commits)
+
+
+def preprocess(composer, srs, light: bool = False):
+    """light=True skips the 4n-sized host extended-coset tables — the
+    device engine's phased quotient (engine_device.DevicePK) derives
+    its per-phase data from the coefficient tables, so only the HOST
+    oracle prover (prover.prove) needs the ext arrays.  At scale
+    (2^18+) the host ext construction dominates preprocess time and
+    memory, so the device path passes light=True."""
     n = composer.padded_size()
     dom = Domain(n)
     ext = Domain(4 * n)
@@ -82,15 +122,22 @@ def preprocess(composer, srs):
     for name in SELECTOR_NAMES:
         coeffs = dom.intt(selector_vals[name])
         sel_coeffs[name] = coeffs
-        sel_ext[name] = ext.coset_ntt(coeffs)
+        if not light:
+            sel_ext[name] = ext.coset_ntt(coeffs)
         sel_commits[name] = kzg.commit(coeffs, srs)
 
     sigma_evals, _ = build_sigma_evals(composer, n)
     sigma_coeffs = [dom.intt(se) for se in sigma_evals]
-    sigma_ext = [ext.coset_ntt(sc) for sc in sigma_coeffs]
+    sigma_ext = (None if light
+                 else [ext.coset_ntt(sc) for sc in sigma_coeffs])
     sigma_commits = [kzg.commit(sc, srs) for sc in sigma_coeffs]
 
-    # --- cached extended-domain helpers ---
+    if light:
+        pk = ProverKey(n, dom, ext, sel_coeffs, None, sigma_coeffs,
+                       None, wire_vars, None, None, None)
+        return pk, VerifierKey(n, sel_commits, sigma_commits)
+
+    # --- cached extended-domain helpers (host oracle prover only) ---
     coset_points = [g * w % R_MOD for w in ext.elements()]
     # Z_H(g w4n^i) = g^n w4n^{in} - 1 has period 4 in i
     gn = pow(g, n, R_MOD)
