@@ -5,8 +5,11 @@ One process per host; host 0 owns the transcript and proof assembly
 On a pod slice this wraps `jax.distributed.initialize`; on a single
 host it is a no-op so the same binary runs everywhere.
 
-Untestable without a real pod slice in this environment — kept minimal
-and side-effect-free until multi-host hardware exists (ROADMAP.md #5).
+Exercised for real by tests/test_multihost.py: two local processes
+bootstrap through `initialize` (Gloo backend), form one global 8-device
+mesh, and run the sharded NTT whose all_to_all crosses the process
+boundary.  Pod-slice scale remains hardware-gated, but the code path —
+distributed init, global mesh, cross-process collectives — runs in CI.
 """
 
 import jax

@@ -69,7 +69,10 @@ def ntt_sharded(mesh, x, log_n: int, inverse: bool = False,
     assert r % d == 0 and c % d == 0, \
         "device count must divide both NTT factors"
     log_c = log_n - log_r
-    tw = jnp.asarray(_twiddle_table(log_n, log_r, inverse))
+    # NB: the twiddle table stays a host numpy array — uncommitted
+    # inputs shard uniformly in MULTI-PROCESS runs, where a
+    # process-local jnp array would be rejected by the global mesh.
+    tw = _twiddle_table(log_n, log_r, inverse)
 
     @functools.partial(
         jax.shard_map, mesh=mesh,
