@@ -293,6 +293,12 @@ class DevicePK:
         self.l1c_phase = [(u - 1) * pk.domain.n_inv % R_MOD
                           for u in self.phase_u]
         self._phase_pows = {}
+        # selector/sigma phase NTTs are circuit-static: cache them on
+        # first prove (60 of the ~100 per-prove transforms) when the
+        # footprint allows — 15 sel + 4 sigma arrays x 4 phases x 64 B/n
+        # ~= 3.8 GB at n=2^20, too much at 2^22.
+        self.cache_phases = n <= (1 << 20)
+        self.phase_static = None
 
     def phase_pows(self, i: int, inverse: bool = False):
         """powers_of(s_i) (or s_i^-1) as (n,16) Montgomery limbs,
@@ -477,14 +483,22 @@ def prove_device(composer, pk, srs, label=None, dpk: DevicePK = None,
         def phase_ntt(coeffs, i):
             return _ntt(mm(coeffs, dpk.phase_pows(i)), log_n)
 
+        if dpk.cache_phases and dpk.phase_static is None:
+            dpk.phase_static = [
+                ({k: phase_ntt(v, i) for k, v in dpk.sel_coeffs.items()},
+                 [phase_ntt(v, i) for v in dpk.sigma_coeffs])
+                for i in range(4)]
         c_phase = []
         for i in range(4):
             wire_ph = {w: phase_ntt(wire_coeffs[w], i) for w in "abcd"}
             z_ph = phase_ntt(z_coeffs, i)
             pi_ph = phase_ntt(pi_coeffs, i)
-            sel_ph = {k: phase_ntt(v, i)
-                      for k, v in dpk.sel_coeffs.items()}
-            sigma_ph = [phase_ntt(v, i) for v in dpk.sigma_coeffs]
+            if dpk.phase_static is not None:
+                sel_ph, sigma_ph = dpk.phase_static[i]
+            else:
+                sel_ph = {k: phase_ntt(v, i)
+                          for k, v in dpk.sel_coeffs.items()}
+                sigma_ph = [phase_ntt(v, i) for v in dpk.sigma_coeffs]
             xpts = mm(const(dpk.phase_s[i], (n,)), dpk.domain_elems)
             t_ph = quotient_phase_dev(
                 wire_ph, z_ph, pi_ph, sel_ph, sigma_ph, xpts, alpha, ch,
