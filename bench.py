@@ -172,6 +172,23 @@ def main():
     except Exception as e:  # noqa: BLE001
         extra["prove_2^14_device_error"] = type(e).__name__
 
+    # Scale proves (configs 3-4): measured by scripts/prove_scale.py on
+    # the same chip (minutes-long runs, kept out of the bench budget);
+    # merge any saved results with an explicit provenance marker.
+    import glob
+    for path in sorted(glob.glob(os.path.join(
+            os.path.dirname(__file__), "bench_results",
+            "prove_scale_*.json"))):
+        try:
+            with open(path) as f:
+                res = json.load(f)
+            key = f"prove_2^{res['log_gates']}_scale"
+            extra[key + "_steady_s"] = res.get("prove_steady_s")
+            extra[key + "_gates_per_s"] = res.get("gates_per_s")
+            extra[key + "_source"] = "scripts/prove_scale.py"
+        except Exception:  # noqa: BLE001
+            pass
+
     print(json.dumps({
         "metric": "msm_points_per_sec_chip",
         "value": round(pps, 1),

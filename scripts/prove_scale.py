@@ -94,6 +94,12 @@ def main():
     out["verify_s"] = round(time.time() - t0, 2)
     out["verified"] = bool(ok)
     print(json.dumps(out), flush=True)
+    res_dir = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "bench_results")
+    os.makedirs(res_dir, exist_ok=True)
+    with open(os.path.join(res_dir,
+                           f"prove_scale_{log_gates}.json"), "w") as f:
+        json.dump(out, f)
     assert ok
 
 

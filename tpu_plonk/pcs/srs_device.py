@@ -63,7 +63,10 @@ def _batch_ladder(bits, base_x, base_y):
 
 def device_srs_points(max_len: int,
                       seed: bytes = b"tpu-plonk insecure srs",
-                      block: int = 1 << 18) -> jnp.ndarray:
+                      block: int = 1 << 15) -> jnp.ndarray:
+    # block 2^15: a 2^18 block crashed the tunneled TPU worker
+    # ("kernel fault") mid-ladder; smaller blocks generate 2^18 in
+    # ~750 s and are disk-cached anyway.
     """(max_len + 1, 3, 24) packed points (row 0 identity, rows 1..n =
     [tau^(i-1)]G) ready for the CSR MSM; disk-cached."""
     os.makedirs(_CACHE_DIR, exist_ok=True)
