@@ -210,6 +210,19 @@ def ntt_batched(x, log_n: int, inverse: bool = False):
     return jax.vmap(f)(flat).reshape(x.shape)
 
 
+def ntt_many(xs, log_n: int, inverse: bool = False):
+    """Batched transform of independent polynomials: (B, n, 16) ->
+    (B, n, 16), size-routed like ntt/intt.  The prover's phase
+    transforms use this — 21 polynomials per quotient phase as ONE
+    MXU program instead of 21 dispatches."""
+    if log_n >= FOURSTEP_THRESHOLD_LOG_N:
+        return jnp.stack([ntt_4step(x, log_n, inverse) for x in xs])
+    if log_n >= MXU_THRESHOLD_LOG_N:
+        from . import ntt_mxu
+        return ntt_mxu.ntt_mxu_batched(xs, log_n, inverse=inverse)
+    return ntt_batched(xs, log_n, inverse)
+
+
 def intt(x, log_n: int):
     """Inverse NTT: evaluations -> coefficients (Montgomery limbs)."""
     if log_n >= FOURSTEP_THRESHOLD_LOG_N:

@@ -440,7 +440,13 @@ def prove_device(composer, pk, srs, label=None, dpk: DevicePK = None,
     with met.timed("r1_wires"):
         witness_mont = to_dev(composer.witness)
         wires_H = wire_values_dev(dpk, witness_mont)
-        wire_coeffs = {w: _intt(wires_H[w], log_n) for w in "abcd"}
+        if mesh is None:
+            stacked = nttmod.ntt_many(
+                jnp.stack([wires_H[w] for w in "abcd"]), log_n,
+                inverse=True)
+            wire_coeffs = dict(zip("abcd", stacked))
+        else:
+            wire_coeffs = {w: _intt(wires_H[w], log_n) for w in "abcd"}
         comm = {}
         wire_comms = commit_many_fn([wire_coeffs[w] for w in "abcd"])
         for (lbl, name), cm in zip(
@@ -480,32 +486,53 @@ def prove_device(composer, pk, srs, label=None, dpk: DevicePK = None,
             pi_vec[gi] = val
         pi_coeffs = _intt(to_dev(pi_vec), log_n)
 
-        def phase_ntt(coeffs, i):
-            return _ntt(mm(coeffs, dpk.phase_pows(i)), log_n)
+        from ..cs.composer import SELECTOR_NAMES
+
+        def phase_ntt_many(polys, i):
+            """All of a phase's forward transforms as ONE batched NTT
+            (single-device; the mesh path keeps per-poly sharded
+            transforms)."""
+            if mesh is not None:
+                return [_ntt(mm(p, dpk.phase_pows(i)), log_n)
+                        for p in polys]
+            st = mm(jnp.stack(polys), dpk.phase_pows(i)[None])
+            return list(nttmod.ntt_many(st, log_n))
 
         if dpk.cache_phases and dpk.phase_static is None:
-            dpk.phase_static = [
-                ({k: phase_ntt(v, i) for k, v in dpk.sel_coeffs.items()},
-                 [phase_ntt(v, i) for v in dpk.sigma_coeffs])
-                for i in range(4)]
-        c_phase = []
+            static = [dpk.sel_coeffs[k] for k in SELECTOR_NAMES] \
+                + list(dpk.sigma_coeffs)
+            dpk.phase_static = []
+            for i in range(4):
+                out = phase_ntt_many(static, i)
+                dpk.phase_static.append(
+                    (dict(zip(SELECTOR_NAMES, out[:len(SELECTOR_NAMES)])),
+                     out[len(SELECTOR_NAMES):]))
+        t_phase = []
         for i in range(4):
-            wire_ph = {w: phase_ntt(wire_coeffs[w], i) for w in "abcd"}
-            z_ph = phase_ntt(z_coeffs, i)
-            pi_ph = phase_ntt(pi_coeffs, i)
+            dyn = [wire_coeffs[w] for w in "abcd"] + [z_coeffs, pi_coeffs]
             if dpk.phase_static is not None:
+                out = phase_ntt_many(dyn, i)
                 sel_ph, sigma_ph = dpk.phase_static[i]
             else:
-                sel_ph = {k: phase_ntt(v, i)
-                          for k, v in dpk.sel_coeffs.items()}
-                sigma_ph = [phase_ntt(v, i) for v in dpk.sigma_coeffs]
+                out = phase_ntt_many(
+                    dyn + [dpk.sel_coeffs[k] for k in SELECTOR_NAMES]
+                    + list(dpk.sigma_coeffs), i)
+                sel_ph = dict(zip(SELECTOR_NAMES, out[6:6 + 11]))
+                sigma_ph = out[6 + 11:]
+            wire_ph = dict(zip("abcd", out[:4]))
+            z_ph, pi_ph = out[4], out[5]
             xpts = mm(const(dpk.phase_s[i], (n,)), dpk.domain_elems)
-            t_ph = quotient_phase_dev(
+            t_phase.append(quotient_phase_dev(
                 wire_ph, z_ph, pi_ph, sel_ph, sigma_ph, xpts, alpha, ch,
                 to_dev_scalar(dpk.zh_inv_phase[i]),
-                to_dev_scalar(dpk.l1c_phase[i]))
-            c_phase.append(mm(_intt(t_ph, log_n),
-                              dpk.phase_pows(i, inverse=True)))
+                to_dev_scalar(dpk.l1c_phase[i])))
+        if mesh is None:
+            t_inv = list(nttmod.ntt_many(jnp.stack(t_phase), log_n,
+                                         inverse=True))
+        else:
+            t_inv = [_intt(t, log_n) for t in t_phase]
+        c_phase = [mm(t_inv[i], dpk.phase_pows(i, inverse=True))
+                   for i in range(4)]
         # t_{mn+k} from the 4 phase coefficient streams: inverse
         # Vandermonde in u_i = s_i^n (DevicePK.vinv)
         chunks = []
