@@ -58,16 +58,19 @@ def main():
     n = cs.padded_size()
     out["n"] = n
     out["compose_s"] = round(time.time() - t0, 1)
+    print("composed", out, flush=True)
 
     t0 = time.time()
     packed = srs_device.device_srs_points(n + 8)
     out["srs_s"] = round(time.time() - t0, 1)
+    print("srs ready", flush=True)
 
     committer = srs_device.PackedCommitter(packed, c=13)
 
     t0 = time.time()
     pk, vk = preprocess_device(cs, committer)
     out["preprocess_s"] = round(time.time() - t0, 1)
+    print("preprocessed %.1fs" % out["preprocess_s"], flush=True)
 
     t0 = time.time()
     dpk = DevicePK(pk)
@@ -78,6 +81,7 @@ def main():
                          commit_fn=committer.commit,
                          commit_many_fn=committer.commit_many)
     out["prove_first_s"] = round(time.time() - t0, 1)
+    print("prove first %.1fs" % out["prove_first_s"], flush=True)
 
     t0 = time.time()
     proof = prove_device(cs, pk, None, dpk=dpk,
