@@ -83,12 +83,16 @@ def main():
     out["prove_first_s"] = round(time.time() - t0, 1)
     print("prove first %.1fs" % out["prove_first_s"], flush=True)
 
+    from tpu_plonk.utils.metrics import Metrics
+    met = Metrics()
     t0 = time.time()
     proof = prove_device(cs, pk, None, dpk=dpk,
                          commit_fn=committer.commit,
-                         commit_many_fn=committer.commit_many)
+                         commit_many_fn=committer.commit_many,
+                         metrics=met)
     out["prove_steady_s"] = round(time.time() - t0, 1)
     out["gates_per_s"] = round(n / out["prove_steady_s"], 0)
+    out["rounds"] = {k: round(v, 2) for k, v in met.to_dict().items()}
 
     # host verification (g2 pair from the device SRS derivation)
     class _SrsShim:

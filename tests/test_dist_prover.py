@@ -40,6 +40,14 @@ def _circuit():
 
 
 def test_prover_1dev_vs_8dev_proof_bytes():
+    """Runs in a fresh process: the sharded-prover compile is the
+    suite's largest and the XLA CPU pipeline segfaults under
+    accumulated compile state (tests/conftest_subproc.py)."""
+    from tests.conftest_subproc import run_isolated
+    run_isolated("tests.test_dist_prover")
+
+
+def worker_main():
     assert len(jax.devices()) == 8
     cs = _circuit()
     assert cs.padded_size() == 64

@@ -35,6 +35,12 @@ def _mixed_circuit():
 
 
 def test_device_engine_matches_host_proof_bytes():
+    """Fresh-process isolation; see tests/conftest_subproc.py."""
+    from tests.conftest_subproc import run_isolated
+    run_isolated("tests.test_engine_device")
+
+
+def worker_main():
     cs = _mixed_circuit()
     srs = srs_mod.cached_setup(cs.padded_size() + 8)
     pk, vk = preprocess(cs, srs)
