@@ -371,6 +371,46 @@ def mont_inv(a_mont, ctx: FieldCtx):
     return mont_pow(a_mont, ctx.modulus - 2, ctx)
 
 
+def blocked_scan(a, combine, one_elem, axis=0, reverse=False,
+                 block_log: int = 16):
+    """Inclusive prefix `combine`-scan along `axis`, compile-bounded.
+
+    jax.lax.associative_scan unrolls log2(n) combine levels into the
+    trace; with Montgomery-multiply combines at n=2^20 that OOM-killed
+    the remote TPU compiler (SIGKILL in the compile helper).  Above
+    2^block_log the scan runs blockwise under lax.scan: associative
+    scan inside each 2^block_log block (one block body in the trace),
+    sequential carry across the n/2^block_log blocks."""
+    n = a.shape[axis]
+    if n <= (1 << block_log) or n % (1 << block_log):
+        return jax.lax.associative_scan(combine, a, axis=axis,
+                                        reverse=reverse)
+    moved = jnp.moveaxis(a, axis, 0)
+    if reverse:
+        moved = jnp.flip(moved, 0)
+    nb = n >> block_log
+    blocks = moved.reshape(nb, 1 << block_log, *moved.shape[1:])
+    carry0 = jnp.broadcast_to(jnp.asarray(one_elem, moved.dtype),
+                              moved.shape[1:])
+
+    def body(carry, blk):
+        p = jax.lax.associative_scan(combine, blk, axis=0)
+        out = combine(jnp.broadcast_to(carry, p.shape), p)
+        return out[-1], out
+
+    _, out = jax.lax.scan(body, carry0, blocks)
+    out = out.reshape(moved.shape)
+    if reverse:
+        out = jnp.flip(out, 0)
+    return jnp.moveaxis(out, 0, axis)
+
+
+def prefix_mul_mont(a, ctx: FieldCtx, axis=0, reverse=False):
+    """Inclusive prefix products (Montgomery), compile-bounded."""
+    return blocked_scan(a, lambda x, y: mont_mul(x, y, ctx),
+                        ctx.one_mont_limbs, axis=axis, reverse=reverse)
+
+
 @functools.partial(jax.jit, static_argnames=("ctx", "axis"))
 def batch_inv_mont(a_mont, ctx: FieldCtx, axis=0):
     """Montgomery-trick batch inversion along `axis` (zeros -> zero):
@@ -380,8 +420,7 @@ def batch_inv_mont(a_mont, ctx: FieldCtx, axis=0):
     one = jnp.asarray(ctx.one_mont_limbs, U32)
     a_fixed = jnp.where(zero_mask[..., None], one, a_mont)
 
-    prefix = jax.lax.associative_scan(
-        lambda x, y: mont_mul(x, y, ctx), a_fixed, axis=axis)
+    prefix = prefix_mul_mont(a_fixed, ctx, axis=axis)
     total = jax.lax.index_in_dim(prefix, prefix.shape[axis] - 1,
                                  axis=axis, keepdims=True)
     total_inv = mont_inv(total, ctx)
@@ -389,8 +428,7 @@ def batch_inv_mont(a_mont, ctx: FieldCtx, axis=0):
     # inv_i = total_inv * prod_{j>i} a_j = suffix products * total_inv
     # suffix_i = prod_{j>i} a_j = reverse-scan; compute from prefix:
     #   inv(prefix_i) = total_inv * suffix_i  =>  a_i^{-1} = inv(prefix_i) * prefix_{i-1}
-    suffix = jax.lax.associative_scan(
-        lambda x, y: mont_mul(x, y, ctx), a_fixed, axis=axis, reverse=True)
+    suffix = prefix_mul_mont(a_fixed, ctx, axis=axis, reverse=True)
     # a_i^{-1} = prefix_{i-1} * suffix_{i+1} * total_inv
     shift_fwd = jnp.roll(prefix, 1, axis=axis)
     shift_fwd = _set_index(shift_fwd, 0, one, axis)

@@ -193,8 +193,9 @@ def gate_value_dev(w, wn, q, pi, ch):
 # ---------------------------------------------------------------------------
 
 def prefix_products(x):
-    """Inclusive prefix products along axis 0 (Montgomery)."""
-    return jax.lax.associative_scan(lambda a, b: mm(a, b), x, axis=0)
+    """Inclusive prefix products along axis 0 (Montgomery),
+    compile-bounded (dev.blocked_scan docstring)."""
+    return dev.prefix_mul_mont(x, FR, axis=0)
 
 
 def powers_of(scalar_mont, n: int):
@@ -378,8 +379,9 @@ def ruffini_dev(coeffs, z_mont, z_inv_mont, value_mont):
     p = coeffs.at[0].set(sb(coeffs[0], value_mont))
     zp = powers_of(z_mont, n)
     cj = mm(p, zp)
-    suffix = jax.lax.associative_scan(lambda a, b: ad(a, b), cj,
-                                     axis=0, reverse=True)
+    suffix = dev.blocked_scan(cj, lambda a, b: ad(a, b),
+                              np.zeros(16, np.uint32), axis=0,
+                              reverse=True)
     zip_ = powers_of(z_inv_mont, n)
     b = mm(suffix, zip_)
     # quotient has degree n-2: b_0..b_{n-2} live at positions 1..n-1
