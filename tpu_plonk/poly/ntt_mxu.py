@@ -162,17 +162,52 @@ def digits_to_limbs(d):
 
 
 def renorm(cols, n_out: int):
-    """int32 convolution columns -> n_out 7-bit digits (int8).
-    Sequential base-2^7 carry ripple (each col < 2^31)."""
+    """int32 convolution columns (NONNEGATIVE, < 2^31) -> n_out 7-bit
+    digits (int8), log-depth.
+
+    The naive formulation is an n_out-step sequential carry ripple —
+    ~80 dependent VPU ops per call, three calls per DFT level; it
+    dominated the 2^22 NTT (ROADMAP #2).  Instead:
+      1. four shift-add passes  x_i <- (x_i & 127) + (x_{i-1} >> 7)
+         shrink every column 31 -> 24 -> 17 -> 10 -> <8 bits
+         (bound: 127 + B/128 each pass), after which carries are 0/1;
+      2. a Kogge-Stone generate/propagate prefix (ceil(log2 n_out)
+         doubling steps) resolves the remaining 1-bit carry chain
+         exactly: g_i = x_i >> 7, p_i = (x_i & 127 == 127).
+    ~15 parallel steps total, and O(log) trace size.  High bits beyond
+    position n_out-1 are dropped, as in the ripple formulation (callers
+    size n_out so values fit)."""
     nc = cols.shape[-1]
-    carry = jnp.zeros_like(cols[:, 0], dtype=jnp.int32)
-    outs = []
-    for i in range(n_out):
-        t = (cols[:, i].astype(jnp.int32) if i < nc else
-             jnp.zeros_like(carry)) + carry
-        outs.append((t & 0x7F).astype(jnp.int8))
-        carry = t >> D7
-    return jnp.stack(outs, axis=-1)
+    x = cols.astype(jnp.int32)
+    if nc < n_out:
+        x = jnp.pad(x, ((0, 0), (0, n_out - nc)))
+    else:
+        x = x[:, :n_out]
+
+    def shift1(a):
+        """a shifted one digit position up (a_{i-1} at i; 0 at i=0)."""
+        return jnp.pad(a, ((0, 0), (1, 0)))[:, :n_out]
+
+    for _ in range(4):
+        x = (x & 0x7F) + shift1(x >> D7)
+    # now 0 <= x_i <= 136: carries are single bits
+    g = x >> D7
+    p = (x & 0x7F) == 0x7F
+    sh = 1
+    while sh < n_out:
+        g = g | (p & shift_digits(g, sh, n_out))
+        p = p & shift_digits(p, sh, n_out)
+        sh <<= 1
+    carry_in = shift1(g)
+    return ((x + carry_in) & 0x7F).astype(jnp.int8)
+
+
+def shift_digits(a, k: int, n_out: int):
+    """a shifted k digit positions up along the last axis (zeros/False
+    shifted in at the bottom)."""
+    pad_val = False if a.dtype == jnp.bool_ else 0
+    return jnp.pad(a, ((0, 0), (k, 0)),
+                   constant_values=pad_val)[:, :n_out]
 
 
 def _i8mm(a, b):
