@@ -186,6 +186,85 @@ def miller_loop(p, q):
     return f12_conj(f)
 
 
+# --- precomputed lines for FIXED G2 points -----------------------------------
+#
+# The verifier's two pairings always use the same G2 points ([tau]G2
+# and the G2 generator, fixed per SRS), so the Miller-loop point chain
+# T and every line slope lam are P-independent: precompute
+# (lam, lam*x_T - y_T) per step once, and each verify's loop step
+# reduces to one f12 square + one sparse mul + a 2-Fp-mul scale —
+# no Fp2 inversions or point updates (ROADMAP verifier item).
+
+
+class G2Prepared:
+    """Per-step line coefficients (lam, c0) for a fixed G2 point."""
+
+    __slots__ = ("coeffs",)
+
+    def __init__(self, q):
+        coeffs = []
+        t = q
+        for bit in bin(BLS_X)[3:]:
+            c, t = _line_coeffs(t, t)
+            coeffs.append(c)
+            if bit == "1":
+                c, t = _line_coeffs(t, q)
+                coeffs.append(c)
+        self.coeffs = coeffs
+
+
+def _line_coeffs(t, q):
+    """P-independent part of _line2: ((lam, lam*x1 - y1), t+q).
+    Degenerate vertical lines (x1 == x2, t != q) cannot occur in the
+    ate chain of a prime-order G2 point; raise if they somehow do so
+    callers never silently mis-pair."""
+    (x1, y1), (x2, y2) = t, q
+    if x1 == x2 and y1 == y2:
+        num = fp.f2_scale(f2_sqr(x1), 3)
+        den = fp.f2_scale(y1, 2)
+    else:
+        if x1 == x2:
+            raise ValueError("degenerate line in ate chain")
+        num = f2_sub(y2, y1)
+        den = f2_sub(x2, x1)
+    lam = f2_mul(num, fp.f2_inv(den))
+    x3 = f2_sub(f2_sub(f2_sqr(lam), x1), x2)
+    y3 = f2_sub(f2_mul(lam, f2_sub(x1, x3)), y1)
+    return (lam, f2_sub(f2_mul(lam, x1), y1)), (x3, y3)
+
+
+_PREPARED = {}
+
+
+def prepare_g2(q):
+    """Cached G2Prepared for a (hashable) affine G2 point."""
+    prep = _PREPARED.get(q)
+    if prep is None:
+        prep = _PREPARED[q] = G2Prepared(q)
+    return prep
+
+
+def miller_loop_prepared(p, prep: G2Prepared):
+    """Miller loop against precomputed line coefficients."""
+    if p is None:
+        return F12_ONE
+    xp_neg = (-p[0]) % P_MOD
+    c3 = (p[1] % P_MOD, 0)
+    f = F12_ONE
+    i = 0
+    cs = prep.coeffs
+    for bit in bin(BLS_X)[3:]:
+        lam, c0 = cs[i]
+        i += 1
+        f = _f12_mul_sparse023(f12_sqr(f), c0,
+                               fp.f2_scale(lam, xp_neg), c3)
+        if bit == "1":
+            lam, c0 = cs[i]
+            i += 1
+            f = _f12_mul_sparse023(f, c0, fp.f2_scale(lam, xp_neg), c3)
+    return f12_conj(f)
+
+
 # Hard-part decomposition (Hayashida–Hayasaka–Teruya shape): with
 # x = -BLS_X the BLS parameter and c = (x-1)^2 / 3 (exact: x = 1 mod 3),
 #   (p^4 - p^2 + 1)/r  =  c * (x + p) * (x^2 + p^2 - 1) + 1.
@@ -228,8 +307,12 @@ def pairing(p, q):
 
 
 def pairing_check(pairs) -> bool:
-    """Return True iff prod e(P_i, Q_i) == 1 (single final exponentiation)."""
+    """Return True iff prod e(P_i, Q_i) == 1 (single final
+    exponentiation).  G2 points are prepared-and-cached: verifiers call
+    this with the same two SRS points every proof."""
     f = F12_ONE
     for p, q in pairs:
-        f = f12_mul(f, miller_loop(p, q))
+        if p is None or q is None:
+            continue
+        f = f12_mul(f, miller_loop_prepared(p, prepare_g2(q)))
     return final_exponentiation(f) == F12_ONE
