@@ -31,6 +31,12 @@ def cmd_demo(cfg):
         srs = srs_mod.cached_setup(composer.padded_size() + 8)
     with met.timed("preprocess"):
         pk, vk = preprocess(composer, srs)
+    ckpt = None
+    if cfg.checkpoint:
+        from .utils.checkpoint import RoundCheckpoint
+        ckpt = RoundCheckpoint(cfg.checkpoint)
+        if ckpt.completed():
+            met.count("resumed_rounds", len(ckpt.completed()))
     with met.timed("prove"):
         if cfg.engine == "device":
             from .proof_system.engine_device import prove_device
@@ -43,7 +49,7 @@ def cmd_demo(cfg):
             proof = prove_device(composer, pk, srs, metrics=met,
                                  commit_fn=commit_fn)
         else:
-            proof = prove(composer, pk, srs)
+            proof = prove(composer, pk, srs, ckpt=ckpt)
     with met.timed("verify"):
         ok = verify(proof, vk, composer.pi, srs)
     met.count("proof_bytes", len(proof.to_bytes()))

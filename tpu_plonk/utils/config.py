@@ -12,6 +12,7 @@ class Config:
     msm_window_bits: int = 8      # Pippenger c
     mesh_devices: int = 1         # devices on the 'shard' axis
     engine: str = "host"          # 'host' | 'device'
+    checkpoint: str = ""          # round-boundary resume file ('' = off)
     srs_seed: bytes = b"tpu-plonk insecure srs"
     label: bytes = b"plonk"
 
@@ -22,7 +23,11 @@ def parse_args(argv=None) -> Config:
     p.add_argument("--msm-window-bits", type=int, default=8)
     p.add_argument("--mesh-devices", type=int, default=1)
     p.add_argument("--engine", choices=["host", "device"], default="host")
+    p.add_argument("--checkpoint", default="",
+                   help="resume file: prover rounds memoized at this "
+                        "path survive a crash/restart")
     a = p.parse_args(argv)
     return Config(log_gates=a.log_gates,
                   msm_window_bits=a.msm_window_bits,
-                  mesh_devices=a.mesh_devices, engine=a.engine)
+                  mesh_devices=a.mesh_devices, engine=a.engine,
+                  checkpoint=a.checkpoint)
