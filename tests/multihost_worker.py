@@ -3,7 +3,13 @@ CPU "pod" (4 virtual devices each, 8 global).  Runs the sharded
 four-step NTT over the GLOBAL mesh — the all_to_all crosses the
 process boundary over the distributed backend — and checks the result
 against the host Domain oracle.  Usage:
-    multihost_worker.py <process_id> <num_processes> <port>
+    multihost_worker.py <process_id> <num_processes> <port> [mode]
+
+mode "prove": full multi-controller proof (SURVEY §2.10 config-5
+shape): every process runs the device engine with the global mesh —
+NTTs and KZG commits globally sharded across both processes,
+everything else replicated-local — and asserts the proof bytes equal
+the single-process host oracle prover's.
 """
 
 import os
@@ -28,11 +34,16 @@ from jax.experimental import multihost_utils  # noqa: E402
 
 def main():
     pid, nproc, port = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
+    mode = sys.argv[4] if len(sys.argv) > 4 else "ntt"
     from tpu_plonk.dist import multihost
     multihost.initialize(f"localhost:{port}", nproc, pid)
     assert jax.process_count() == nproc
     assert multihost.is_coordinator() == (pid == 0)
     mesh = multihost.global_mesh()
+
+    if mode == "prove":
+        _prove_mode(pid, mesh)
+        return
 
     from tpu_plonk.params import R_MOD, FR_MONT_R
     from tpu_plonk.fields import limbs
@@ -51,6 +62,37 @@ def main():
            for v in limbs.limbs_to_ints(np.asarray(y_full))]
     want = Domain(n).ntt(coeffs)
     assert got == want, f"proc {pid}: sharded NTT != host oracle"
+    print(f"MULTIHOST_OK proc={pid}", flush=True)
+
+
+def _prove_mode(pid, mesh):
+    from tpu_plonk.params import R_MOD
+    from tpu_plonk.cs import Composer
+    from tpu_plonk.dist.msm_sharded import ShardedCommitter
+    from tpu_plonk.pcs import srs as srs_mod
+    from tpu_plonk.proof_system.preprocess import preprocess
+    from tpu_plonk.proof_system.prover import prove
+    from tpu_plonk.proof_system.verifier import verify
+    from tpu_plonk.proof_system.engine_device import prove_device
+
+    cs = Composer()
+    a = cs.add_input(37)
+    b = cs.add_input(21)
+    cvar = cs.mul(1, a, b, 5)
+    cs.constrain_to_constant(cvar, 0, (-782) % R_MOD)
+    prev = cvar
+    while cs.n_gates < 40:          # pad to 64 = 8x8 four-step
+        prev = cs.mul(1, prev, prev, 3)
+    assert cs.check_satisfied()
+    srs = srs_mod.cached_setup(cs.padded_size() + 8)
+    pk, vk = preprocess(cs, srs)
+    want = prove(cs, pk, srs)       # replicated host oracle
+    committer = ShardedCommitter(mesh, srs, pk.n, c=4)
+    got = prove_device(cs, pk, srs, commit_fn=committer.commit,
+                       mesh=mesh)
+    assert got.to_bytes() == want.to_bytes(), \
+        f"proc {pid}: multi-controller proof bytes diverge"
+    assert verify(got, vk, cs.pi, srs), f"proc {pid}: proof rejected"
     print(f"MULTIHOST_OK proc={pid}", flush=True)
 
 

@@ -57,3 +57,20 @@ def test_sharded_ntt_matches_host():
     got_back = [v * rinv % R_MOD
                 for v in limbs.limbs_to_ints(np.asarray(back))]
     assert got_back == coeffs
+
+
+def test_sharded_ntt_medium():
+    """2^12 sharded NTT vs the single-chip kernel (VERDICT round-1
+    weak-spot: the sharded NTT had only ever run at 2^7).  The oracle
+    here is poly.ntt (itself host-oracle-tested), so the comparison is
+    a full (n, 16) bit-equality."""
+    from tpu_plonk.poly import ntt as nttmod
+    log_n = 12
+    n = 1 << log_n
+    coeffs = [rng.randrange(R_MOD) for _ in range(n)]
+    x = jnp.asarray(limbs.fr_to_limbs(
+        [c * FR_MONT_R % R_MOD for c in coeffs]))
+    mesh = meshmod.make_mesh()
+    got = ntt_sharded(mesh, x, log_n)
+    want = nttmod.ntt(x, log_n)
+    assert np.array_equal(np.asarray(got), np.asarray(want))

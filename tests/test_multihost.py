@@ -10,6 +10,8 @@ import socket
 import subprocess
 import sys
 
+import pytest
+
 def _free_port() -> int:
     s = socket.socket()
     s.bind(("localhost", 0))
@@ -18,7 +20,7 @@ def _free_port() -> int:
     return port
 
 
-def test_two_process_sharded_ntt():
+def _run_workers(mode: str, timeout: int = 840):
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     worker = os.path.join(root, "tests", "multihost_worker.py")
     port = _free_port()
@@ -28,15 +30,30 @@ def test_two_process_sharded_ntt():
     env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
     procs = [
         subprocess.Popen(
-            [sys.executable, worker, str(pid), "2", str(port)],
+            [sys.executable, worker, str(pid), "2", str(port), mode],
             env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
             text=True)
         for pid in range(2)
     ]
     outs = []
     for p in procs:
-        out, _ = p.communicate(timeout=840)
+        out, _ = p.communicate(timeout=timeout)
         outs.append(out)
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"proc {pid} failed:\n{out[-3000:]}"
         assert f"MULTIHOST_OK proc={pid}" in out, out[-3000:]
+
+
+def test_two_process_sharded_ntt():
+    _run_workers("ntt")
+
+
+@pytest.mark.skipif(
+    not os.environ.get("TPU_PLONK_BIG_TESTS"),
+    reason="30-60 min on the 4-core CI box (two processes each trace + "
+           "compile the full engine); set TPU_PLONK_BIG_TESTS=1")
+def test_two_process_full_prove():
+    """Multi-controller end-to-end proof: 2 processes x 4 devices, the
+    device engine's NTTs/commits sharded over the global mesh, proof
+    bytes identical to the host oracle on BOTH processes."""
+    _run_workers("prove", timeout=3600)

@@ -20,6 +20,27 @@ def test_digit_roundtrip():
     assert limbs.limbs_to_ints(np.asarray(back)) == vals
 
 
+def test_renorm_log_depth():
+    """The log-depth carry renormalization vs a python-int oracle,
+    including adversarial carry chains (all-max columns, all-127
+    propagate rows, single huge column rippling across the width)."""
+    nprng = np.random.default_rng(0x41)
+    for bound, nc, n_out in [(2**31 - 1, 80, 84), (2**31 - 1, 80, 80),
+                             (640000, 39, 39), (2**20, 76, 80),
+                             (127, 10, 14), (2**31 - 1, 5, 12)]:
+        cols = nprng.integers(0, bound + 1, size=(16, nc),
+                              dtype=np.int64).astype(np.int32)
+        cols[0] = bound
+        cols[1] = min(127, bound)
+        cols[2, :] = 0
+        cols[2, 0] = bound
+        got = np.asarray(ntt_mxu.renorm(jnp.asarray(cols), n_out))
+        for r in range(16):
+            v = sum(int(c) << (7 * i) for i, c in enumerate(cols[r]))
+            want = [(v >> (7 * i)) & 0x7F for i in range(n_out)]
+            assert [int(x) & 0x7F for x in got[r]] == want
+
+
 def test_redc_digits():
     # REDC'(T) == T * 2^-273 mod q for random T < 2^500
     ts = [rng.randrange(1 << 500) for _ in range(8)]

@@ -23,6 +23,7 @@ from ..fields import limbs
 from ..fields import device as dev
 from ..curves import g1
 from ..pcs import msm_csr
+from . import multihost
 
 
 def _shard_csr(sdigits, c: int, n_shards: int, chunk: int = None):
@@ -59,7 +60,7 @@ def shard_points(mesh, points, axis: str = "shard"):
               for i in range(d)]
     arr = np.stack(shards)
     sharding = NamedSharding(mesh, P(axis))
-    return jax.device_put(arr, sharding), total
+    return multihost.global_put(arr, sharding), total
 
 
 @functools.lru_cache(maxsize=None)
@@ -106,11 +107,12 @@ def window_sums_from_csr(mesh, points_packed, l1, l2, c: int,
     """Stacked per-shard CSR -> per-window affine sums (host list)."""
     d = mesh.shape[axis]
     sharding = NamedSharding(mesh, P(axis))
-    l1d = jax.device_put(l1, sharding)
-    l2d = jax.device_put(l2, sharding)
+    l1d = multihost.global_put(l1, sharding)
+    l2d = multihost.global_put(l2, sharding)
     sums = _sharded_runner(mesh, c, axis)(points_packed, l1d, l2d)
     w = sums.shape[1]
-    flat = msm_csr.sums_to_host(sums.reshape(d * w, 3, 24))
+    flat = msm_csr.sums_to_host(
+        multihost.allgather(sums).reshape(d * w, 3, 24))
     out = []
     for wi in range(w):
         acc = None

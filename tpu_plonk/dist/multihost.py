@@ -13,6 +13,7 @@ distributed init, global mesh, cross-process collectives — runs in CI.
 """
 
 import jax
+import numpy as np
 
 
 def initialize(coordinator_address: str = None, num_processes: int = None,
@@ -36,3 +37,26 @@ def global_mesh(axis: str = "shard"):
     devs = jax.devices()
     return jax.make_mesh((len(devs),), (axis,), devices=devs,
                          axis_types=(jax.sharding.AxisType.Auto,))
+
+
+def allgather(x) -> np.ndarray:
+    """Globally-sharded array -> full host numpy on EVERY process.
+    Single-process: a plain device pull.  This is the boundary that
+    lets the multi-controller prover keep its elementwise rounds
+    replicated-local while NTTs/commits run globally sharded."""
+    if jax.process_count() == 1:
+        return np.asarray(x)
+    from jax.experimental import multihost_utils
+    return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+
+
+def global_put(arr, sharding):
+    """Host numpy (identical on every process) -> array sharded over a
+    (possibly multi-process) mesh.  Under one controller this is
+    jax.device_put; under many, each process materializes only its
+    addressable shards."""
+    arr = np.asarray(arr)
+    if jax.process_count() == 1:
+        return jax.device_put(arr, sharding)
+    return jax.make_array_from_callback(
+        arr.shape, sharding, lambda idx: arr[idx])

@@ -90,7 +90,16 @@ def ntt_sharded(mesh, x, log_n: int, inverse: bool = False,
         ct = _transpose_dist(cc, axis)              # (C/D, R, 16)
         return ct.reshape(-1, 16)
 
-    return run(x.reshape(n, 16), tw)
+    x = x.reshape(n, 16)
+    if jax.process_count() > 1 and not (
+            isinstance(x, jax.Array) and not x.is_fully_addressable):
+        # multi-controller: commit replicated host data to the global
+        # mesh explicitly (a process-local jax.Array would be rejected)
+        from . import multihost
+        from jax.sharding import NamedSharding
+        x = multihost.global_put(np.asarray(x),
+                                 NamedSharding(mesh, P(axis)))
+    return run(x, tw)
 
 
 def coset_ntt_sharded(mesh, x, log_n: int, axis: str = "shard"):

@@ -416,10 +416,21 @@ def prove_device(composer, pk, srs, label=None, dpk: DevicePK = None,
     if mesh is not None:
         from ..dist import msm_sharded as _msh
         from ..dist import ntt_sharded as _nsh
+        from ..dist import multihost as _mh
         if commit_fn is None:
             commit_fn = _msh.ShardedCommitter(mesh, srs, pk.n).commit
-        _ntt = lambda x, ln: _nsh.ntt_sharded(mesh, x, ln)  # noqa: E731
-        _intt = lambda x, ln: _nsh.ntt_sharded(mesh, x, ln, inverse=True)  # noqa: E731
+        if jax.process_count() > 1:
+            # multi-controller: feed the sharded kernels host numpy
+            # (uncommitted inputs shard uniformly across processes) and
+            # allgather the result, so every other round stays
+            # replicated-local and deterministic on each process.
+            _ntt = lambda x, ln: jnp.asarray(_mh.allgather(  # noqa: E731
+                _nsh.ntt_sharded(mesh, np.asarray(x), ln)))
+            _intt = lambda x, ln: jnp.asarray(_mh.allgather(  # noqa: E731
+                _nsh.ntt_sharded(mesh, np.asarray(x), ln, inverse=True)))
+        else:
+            _ntt = lambda x, ln: _nsh.ntt_sharded(mesh, x, ln)  # noqa: E731
+            _intt = lambda x, ln: _nsh.ntt_sharded(mesh, x, ln, inverse=True)  # noqa: E731
     else:
         _ntt = nttmod.ntt
         _intt = nttmod.intt
