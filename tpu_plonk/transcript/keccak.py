@@ -55,7 +55,16 @@ def f1600_lanes(lanes):
 
 def f1600(state: bytearray) -> None:
     """In-place permutation of a 200-byte state (LE u64 lanes, x-major
-    index lane[i] = lanes[i % 5][i // 5])."""
+    index lane[i] = lanes[i % 5][i // 5]).  Routed through the native
+    library when available (byte-equality with the Python rounds below
+    is asserted in tests/test_native_bls.py)."""
+    from .. import native
+    lib = native.bls_lib()
+    if lib is not None:
+        import ctypes
+        buf = (ctypes.c_uint64 * 25).from_buffer(state)
+        lib.b381_keccakf(buf)
+        return
     lanes = [[int.from_bytes(state[8 * (x + 5 * y): 8 * (x + 5 * y) + 8],
                              "little") for y in range(5)] for x in range(5)]
     lanes = f1600_lanes(lanes)
