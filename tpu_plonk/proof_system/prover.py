@@ -27,15 +27,47 @@ from .proof import Proof
 KS = (1, K1, K2, K3)
 
 
+def _blinders(seed: bytes, count: int):
+    """Deterministic seed-derived blinding scalars (keeps proofs
+    reproducible for a fixed seed — byte-identity tests survive — while
+    making distinct-seed proofs statistically hiding).  The seed MUST
+    be secret and fresh per proof for zero-knowledge."""
+    import hashlib
+    return [int.from_bytes(
+        hashlib.sha512(b"tpu-plonk blind" + seed
+                       + k.to_bytes(2, "little")).digest(),
+        "little") % R_MOD for k in range(count)]
+
+
+def _add_zh_mult(coeffs, bs, n: int):
+    """coeffs + (sum_k bs[k] X^k) * (X^n - 1) — the standard PLONK
+    blinding shape: the added term vanishes on H, so evaluations over
+    the domain (and hence the constraint algebra on H) are unchanged."""
+    out = list(coeffs) + [0] * max(0, n + len(bs) - len(coeffs))
+    for k, b in enumerate(bs):
+        out[n + k] = (out[n + k] + b) % R_MOD
+        out[k] = (out[k] - b) % R_MOD
+    return out
+
+
 def prove(composer, pk, srs, label: bytes = L.PROTOCOL,
-          ckpt=None) -> Proof:
+          ckpt=None, blinding_seed: bytes = None) -> Proof:
     """5-round prover.  Optional `ckpt` (utils.checkpoint.RoundCheckpoint)
     persists each round's outputs; on restart, completed rounds load
     from disk and the transcript replays deterministically from the
-    cached commitments (SURVEY.md §5.4)."""
+    cached commitments (SURVEY.md §5.4).
+
+    `blinding_seed` switches on the ZK variant: wires gain
+    (b1 X + b2) Z_H, z gains (b1 X^2 + b2 X + b3) Z_H, pushing deg(t)
+    to 4n+6 — the quotient is computed on an 8n coset and split into
+    FIVE chunks (extra commitment t_5, 1088-byte proof; docs/PROTOCOL.md
+    §zk).  Without a seed the prover stays deterministic and
+    byte-compatible with the dusk-parity 1040-byte layout."""
     n = pk.n
     dom = pk.domain
     ext = pk.ext_domain
+    blinds = _blinders(blinding_seed, 11) if blinding_seed is not None \
+        else None
 
     def _memo(key, fn):
         return fn() if ckpt is None else ckpt.memo(key, fn)
@@ -48,6 +80,10 @@ def prove(composer, pk, srs, label: bytes = L.PROTOCOL,
         wire_vals = {w: [composer.witness[v] for v in pk.wire_vars[w]]
                      for w in "abcd"}
         wire_coeffs = {w: dom.intt(wire_vals[w]) for w in "abcd"}
+        if blinds is not None:
+            for j, w in enumerate("abcd"):
+                wire_coeffs[w] = _add_zh_mult(
+                    wire_coeffs[w], blinds[2 * j:2 * j + 2], n)
         comms = {
             "w_l": kzg.commit(wire_coeffs["a"], srs),
             "w_r": kzg.commit(wire_coeffs["b"], srs),
@@ -88,6 +124,8 @@ def prove(composer, pk, srs, label: bytes = L.PROTOCOL,
         assert z_vals[-1] * nums[-1] % R_MOD * den_invs[-1] % R_MOD == 1, \
             "grand product does not close (copy constraints violated)"
         z_coeffs = dom.intt(z_vals)
+        if blinds is not None:
+            z_coeffs = _add_zh_mult(z_coeffs, blinds[8:11], n)
         return z_coeffs, kzg.commit(z_coeffs, srs)
 
     z_coeffs, comm["z"] = _memo("r2", _round2)
@@ -101,45 +139,92 @@ def prove(composer, pk, srs, label: bytes = L.PROTOCOL,
     }
 
     # ------------------------------------------------------ round 3
-    def _round3():
-        ext_n = 4 * n
-        wire_ext = {w: ext.coset_ntt(wire_coeffs[w]) for w in "abcd"}
-        z_ext = ext.coset_ntt(z_coeffs)
-        pi_vec = [0] * n
-        for gi, val in composer.pi.items():
-            pi_vec[gi] = val
-        pi_ext = ext.coset_ntt(dom.intt(pi_vec))
-
+    def _quotient_evals(ext_n, step, wire_ext, z_ext, pi_ext, sel_ext,
+                        sigma_ext, pts, zh_inv, l1_ext):
+        """t evaluations over a coset of size ext_n; `step` is the
+        index offset realizing X -> X*omega on that coset (4 on the 4n
+        coset, 8 on the blinded 8n coset)."""
         alpha2 = alpha * alpha % R_MOD
         t_evals = [0] * ext_n
         for i in range(ext_n):
-            inx = (i + 4) % ext_n  # X*omega on the 4n coset
+            inx = (i + step) % ext_n
             w = tuple(wire_ext[c][i] for c in "abcd")
             wn = tuple(wire_ext[c][inx] for c in "abcd")
-            q = {name: pk.selector_ext[name][i]
-                 for name in pk.selector_ext}
+            q = {name: sel_ext[name][i] for name in sel_ext}
             gate = C.gate_value(w, wn, q, pi_ext[i], ch)
 
-            x = pk.coset_points[i]
+            x = pts[i]
             num = den = 1
             for j in range(4):
                 num = num * ((w[j] + beta * KS[j] * x + gamma) % R_MOD) \
                     % R_MOD
-                den = den * ((w[j] + beta * pk.sigma_ext[j][i] + gamma)
+                den = den * ((w[j] + beta * sigma_ext[j][i] + gamma)
                              % R_MOD) % R_MOD
             perm = (num * z_ext[i] - den * z_ext[inx]) % R_MOD
-            l1_term = pk.l1_ext[i] * ((z_ext[i] - 1) % R_MOD) % R_MOD
+            l1_term = l1_ext[i] * ((z_ext[i] - 1) % R_MOD) % R_MOD
             total = (gate + alpha * perm + alpha2 * l1_term) % R_MOD
-            t_evals[i] = total * pk.zh_inv_ext[i] % R_MOD
+            t_evals[i] = total * zh_inv[i] % R_MOD
+        return t_evals
 
+    def _pi_coeffs():
+        pi_vec = [0] * n
+        for gi, val in composer.pi.items():
+            pi_vec[gi] = val
+        return dom.intt(pi_vec)
+
+    def _round3():
+        ext_n = 4 * n
+        wire_ext = {w: ext.coset_ntt(wire_coeffs[w]) for w in "abcd"}
+        z_ext = ext.coset_ntt(z_coeffs)
+        pi_ext = ext.coset_ntt(_pi_coeffs())
+        t_evals = _quotient_evals(
+            ext_n, 4, wire_ext, z_ext, pi_ext, pk.selector_ext,
+            pk.sigma_ext, pk.coset_points, pk.zh_inv_ext, pk.l1_ext)
         t_coeffs = ext.coset_intt(t_evals)
         assert all(c == 0 for c in t_coeffs[4 * n - 3:]), \
             "quotient degree overflow (constraint degree too high)"
         chunks = [t_coeffs[k * n:(k + 1) * n] for k in range(4)]
         return chunks, [kzg.commit(ck, srs) for ck in chunks]
 
-    chunks, t_comms = _memo("r3", _round3)
-    for k, lbl in enumerate((L.T_1, L.T_2, L.T_3, L.T_4)):
+    def _round3_blinded():
+        """Blinded quotient: deg(t) = 4n+6 exceeds the 4n coset, so
+        evaluate on an 8n coset (tables built on the fly — the host
+        oracle prover is the small-circuit path) and split into FIVE
+        chunks."""
+        from ..poly.domain import Domain
+        ext8 = Domain(8 * n)
+        ext_n = 8 * n
+        wire_ext = {w: ext8.coset_ntt(wire_coeffs[w]) for w in "abcd"}
+        z_ext = ext8.coset_ntt(z_coeffs)
+        pi_ext = ext8.coset_ntt(_pi_coeffs())
+        sel_ext = {name: ext8.coset_ntt(pk.selector_coeffs[name])
+                   for name in pk.selector_coeffs}
+        sigma_ext = [ext8.coset_ntt(sc) for sc in pk.sigma_coeffs]
+        pts = [0] * ext_n
+        g = ext8.coset_gen
+        for i in range(ext_n):
+            pts[i] = g
+            g = g * ext8.omega % R_MOD
+        zh = [(pow(x, n, R_MOD) - 1) % R_MOD for x in pts]
+        zh_inv = fr.batch_inv(zh)
+        xm1_inv = fr.batch_inv([(x - 1) % R_MOD for x in pts])
+        l1_ext = [zh[i] * dom.n_inv % R_MOD * xm1_inv[i] % R_MOD
+                  for i in range(ext_n)]
+        t_evals = _quotient_evals(
+            ext_n, 8, wire_ext, z_ext, pi_ext, sel_ext, sigma_ext,
+            pts, zh_inv, l1_ext)
+        t_coeffs = ext8.coset_intt(t_evals)
+        assert all(c == 0 for c in t_coeffs[4 * n + 7:]), \
+            "blinded quotient degree overflow"
+        chunks = [t_coeffs[k * n:(k + 1) * n] for k in range(4)]
+        chunks.append(t_coeffs[4 * n:4 * n + 7])
+        return chunks, [kzg.commit(ck, srs) for ck in chunks]
+
+    chunks, t_comms = _memo(
+        "r3", _round3 if blinds is None else _round3_blinded)
+    t_labels = (L.T_1, L.T_2, L.T_3, L.T_4) if blinds is None \
+        else (L.T_1, L.T_2, L.T_3, L.T_4, L.T_5)
+    for k, lbl in enumerate(t_labels):
         comm[f"t_{k + 1}"] = t_comms[k]
         t.append_commitment(lbl, comm[f"t_{k + 1}"])
     zeta = t.challenge_scalar(L.ZETA)
@@ -333,7 +418,8 @@ class Prover:
         self.pk, self.vk = _pp(self.composer, srs)
         return self.vk
 
-    def prove(self, srs) -> Proof:
+    def prove(self, srs, blinding_seed: bytes = None) -> Proof:
         if self.pk is None:
             self.preprocess(srs)
-        return prove(self.composer, self.pk, srs, self.label)
+        return prove(self.composer, self.pk, srs, self.label,
+                     blinding_seed=blinding_seed)

@@ -39,7 +39,9 @@ def verify(proof: Proof, vk, public_inputs: dict, srs,
         "fixed": t.challenge_scalar(L.FIXED_SEP),
         "vgadd": t.challenge_scalar(L.VGADD_SEP),
     }
-    for k, lbl in enumerate((L.T_1, L.T_2, L.T_3, L.T_4)):
+    t_labels = (L.T_1, L.T_2, L.T_3, L.T_4, L.T_5) if proof.blinded \
+        else (L.T_1, L.T_2, L.T_3, L.T_4)
+    for k, lbl in enumerate(t_labels):
         t.append_commitment(lbl, comm[f"t_{k + 1}"])
     zeta = t.challenge_scalar(L.ZETA)
 
@@ -61,12 +63,11 @@ def verify(proof: Proof, vk, public_inputs: dict, srs,
     parts.append((vk.sigma_commits[3], co["sigma4"]))
     r_comm = _msm_pairs(parts)
 
-    # flattened quotient commitment
+    # flattened quotient commitment (5 chunks for the blinded variant)
     zn = pow(zeta, n, R_MOD)
     t_comm = _msm_pairs([
-        (comm["t_1"], 1), (comm["t_2"], zn),
-        (comm["t_3"], zn * zn % R_MOD), (comm["t_4"], pow(zn, 3, R_MOD)),
-    ])
+        (comm[f"t_{k + 1}"], pow(zn, k, R_MOD))
+        for k in range(len(t_labels))])
 
     # --- fold the two aggregate openings ---
     zeta_comms = [t_comm, r_comm, comm["w_l"], comm["w_r"], comm["w_o"],
