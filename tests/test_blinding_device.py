@@ -1,0 +1,42 @@
+"""Device-engine ZK variant vs the host blinded oracle: byte-identical
+proofs.  Exercises the 8-phase quotient (8x8 inverse Vandermonde, five
+chunks), the rank-1 phase corrections (x^n = u_i constant per coset),
+the host-tracked high coefficients in commits/evals, and the split
+Ruffini in the aggregate openings."""
+
+from tpu_plonk.params import R_MOD
+from tpu_plonk.cs import Composer
+from tpu_plonk.pcs import srs as srs_mod
+from tpu_plonk.proof_system.preprocess import preprocess
+from tpu_plonk.proof_system.prover import prove
+from tpu_plonk.proof_system.verifier import verify
+from tpu_plonk.proof_system.engine_device import prove_device
+
+
+def test_device_blinded_matches_host():
+    cs = Composer()
+    a = cs.add_input(37)
+    b = cs.add_input(21)
+    c = cs.mul(1, a, b, 5)
+    cs.constrain_to_constant(c, 0, (-782) % R_MOD)
+    x = cs.add_input(0b1011)
+    y = cs.add_input(0b0110)
+    cs.xor_gate(x, y, 4)
+    cs.range_gate(cs.add_input(13), 8)
+    prev = c
+    while cs.n_gates < 28:
+        prev = cs.mul(1, prev, prev, 3)
+    assert cs.check_satisfied()
+    srs = srs_mod.cached_setup(cs.padded_size() + 8)
+    pk, vk = preprocess(cs, srs)
+
+    want = prove(cs, pk, srs, blinding_seed=b"dev-zk")
+    got = prove_device(cs, pk, srs, blinding_seed=b"dev-zk")
+    assert got.to_bytes() == want.to_bytes()
+    assert verify(got, vk, cs.pi, srs)
+
+    # and the unblinded device path is unchanged
+    plain_host = prove(cs, pk, srs)
+    plain_dev = prove_device(cs, pk, srs)
+    assert plain_dev.to_bytes() == plain_host.to_bytes()
+    assert plain_dev.to_bytes() != got.to_bytes()

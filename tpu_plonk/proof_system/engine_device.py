@@ -239,21 +239,26 @@ def batch_inv(x):
 KS = (1, K1, K2, K3)
 
 
-def _inv4x4_mod(mat):
-    """Inverse of a 4x4 integer matrix mod r (Gauss-Jordan)."""
-    a = [[mat[i][j] % R_MOD for j in range(4)] + [1 if i == j else 0
-         for j in range(4)] for i in range(4)]
-    for col in range(4):
-        piv = next(r for r in range(col, 4) if a[r][col] % R_MOD)
+def _invnxn_mod(mat):
+    """Inverse of an n x n integer matrix mod r (Gauss-Jordan)."""
+    k = len(mat)
+    a = [[mat[i][j] % R_MOD for j in range(k)] + [1 if i == j else 0
+         for j in range(k)] for i in range(k)]
+    for col in range(k):
+        piv = next(r for r in range(col, k) if a[r][col] % R_MOD)
         a[col], a[piv] = a[piv], a[col]
         inv = pow(a[col][col], -1, R_MOD)
         a[col] = [x * inv % R_MOD for x in a[col]]
-        for r in range(4):
+        for r in range(k):
             if r != col and a[r][col]:
                 f = a[r][col]
                 a[r] = [(x - f * y) % R_MOD
                         for x, y in zip(a[r], a[col])]
-    return [row[4:] for row in a]
+    return [row[k:] for row in a]
+
+
+def _inv4x4_mod(mat):
+    return _invnxn_mod(mat)
 
 
 class DevicePK:
@@ -301,12 +306,36 @@ class DevicePK:
         self.cache_phases = n <= (1 << 20)
         self.phase_static = None
 
-    def phase_pows(self, i: int, inverse: bool = False):
+        # --- 8-phase tables (ZK variant: deg(t) = 4n+6 needs the 8n
+        # coset; built lazily on first blinded prove) ---
+        self.phase8_built = False
+        self.phase8_static = None
+
+    def build_phase8(self):
+        """Phase tables for the blinded quotient: 8 interleaved size-n
+        cosets of the 8n extended coset, s_i = g*w_{8n}^i."""
+        if self.phase8_built:
+            return
+        from ..poly.domain import Domain
+        n = 1 << self.log_n
+        g = self.pk.domain.coset_gen
+        w8n = Domain(8 * n).omega
+        self.phase8_s = [g * pow(w8n, i, R_MOD) % R_MOD for i in range(8)]
+        self.phase8_u = [pow(s, n, R_MOD) for s in self.phase8_s]
+        self.v8inv = _invnxn_mod(
+            [[pow(u, m, R_MOD) for m in range(8)] for u in self.phase8_u])
+        self.zh_inv_phase8 = [pow(u - 1, -1, R_MOD) for u in self.phase8_u]
+        self.l1c_phase8 = [(u - 1) * self.pk.domain.n_inv % R_MOD
+                           for u in self.phase8_u]
+        self.phase8_built = True
+
+    def phase_pows(self, i: int, inverse: bool = False,
+                   n_phases: int = 4):
         """powers_of(s_i) (or s_i^-1) as (n,16) Montgomery limbs,
         built lazily and cached on device."""
-        key = (i, inverse)
+        key = (i, inverse, n_phases)
         if key not in self._phase_pows:
-            s = self.phase_s[i]
+            s = self.phase_s[i] if n_phases == 4 else self.phase8_s[i]
             if inverse:
                 s = pow(s, -1, R_MOD)
             self._phase_pows[key] = powers_of(to_dev_scalar(s),
@@ -388,9 +417,22 @@ def ruffini_dev(coeffs, z_mont, z_inv_mont, value_mont):
     return b[1:]
 
 
+def _blind_commit(cm, highs, srs, n: int):
+    """Commitment correction for host-tracked high blinding coeffs:
+    cm + sum_k highs[k] * [tau^(n+k)]G1 (a couple of host scalar-muls —
+    the device arrays stay n-sized; SURVEY §2.6 KZG linearity)."""
+    from ..curves import g1
+    from ..pcs import msm as hostmsm
+    pairs = [(srs.powers_g1[n + k], h) for k, h in enumerate(highs) if h]
+    if not pairs:
+        return cm
+    corr = hostmsm.msm_small(pairs)
+    return g1.add(cm, corr) if cm is not None else corr
+
+
 def prove_device(composer, pk, srs, label=None, dpk: DevicePK = None,
                  commit_fn=None, metrics=None, mesh=None,
-                 commit_many_fn=None):
+                 commit_many_fn=None, blinding_seed: bytes = None):
     """Device-engine prover; mirrors prover.prove round-for-round and
     must produce byte-identical proofs (asserted by tests).
 
@@ -399,7 +441,17 @@ def prove_device(composer, pk, srs, label=None, dpk: DevicePK = None,
     dist/msm_sharded.ShardedCommitter and all wire/z/PI/quotient
     (i)NTTs via the four-step all_to_all NTT (dist/ntt_sharded).  EC
     addition and the NTT algebra are exact, so proof bytes are
-    identical across device counts (tests/test_dist_prover.py)."""
+    identical across device counts (tests/test_dist_prover.py).
+
+    `blinding_seed` enables the ZK variant (byte-identical to the host
+    prover's — tests/test_blinding_device.py).  Device arrays stay
+    n-sized: the <=3 high blinding coefficients of each polynomial are
+    tracked as HOST scalars, entering as (a) commitment corrections
+    (KZG linearity, _blind_commit), (b) rank-1 phase corrections in the
+    quotient (x^n = u_i is CONSTANT on each interleaved coset), and
+    (c) host eval corrections at zeta/zeta*omega.  deg(t) = 4n+6 needs
+    the 8n coset, so the quotient runs EIGHT interleaved phases with an
+    8x8 inverse-Vandermonde recombination into five chunks."""
     from ..transcript import Transcript
     from ..transcript import labels as L
     from ..poly.domain import Domain
@@ -445,6 +497,12 @@ def prove_device(composer, pk, srs, label=None, dpk: DevicePK = None,
     n = pk.n
     log_n = dpk.log_n
     dom = pk.domain
+    blinds = host._blinders(blinding_seed, 11) \
+        if blinding_seed is not None else None
+    # host-tracked high blinding coefficients per polynomial:
+    # p' = p_low (device, n rows, rows 0..len-1 adjusted) + sum h_k X^(n+k)
+    wire_high = {w: () for w in "abcd"}
+    z_high = ()
 
     t = Transcript(label)
     t.circuit_domain_sep(n)
@@ -460,8 +518,19 @@ def prove_device(composer, pk, srs, label=None, dpk: DevicePK = None,
             wire_coeffs = dict(zip("abcd", stacked))
         else:
             wire_coeffs = {w: _intt(wires_H[w], log_n) for w in "abcd"}
+        if blinds is not None:
+            for j, w in enumerate("abcd"):
+                b0, b1 = blinds[2 * j], blinds[2 * j + 1]
+                wc = wire_coeffs[w]
+                wc = wc.at[0].set(sb(wc[0], const(b0)))
+                wc = wc.at[1].set(sb(wc[1], const(b1)))
+                wire_coeffs[w] = wc
+                wire_high[w] = (b0, b1)
         comm = {}
         wire_comms = commit_many_fn([wire_coeffs[w] for w in "abcd"])
+        if blinds is not None:
+            wire_comms = [_blind_commit(cm, wire_high[w], srs, n)
+                          for w, cm in zip("abcd", wire_comms)]
         for (lbl, name), cm in zip(
                 ((L.W_L, "w_l"), (L.W_R, "w_r"),
                  (L.W_O, "w_o"), (L.W_4, "w_4")), wire_comms):
@@ -478,7 +547,13 @@ def prove_device(composer, pk, srs, label=None, dpk: DevicePK = None,
         z_H, closure = grand_product_dev(
             wires_H, dpk.sigma_H, dpk.domain_elems, beta, gamma, log_n)
         z_coeffs = _intt(z_H, log_n)
-        comm["z"] = commit_fn(z_coeffs)
+        if blinds is not None:
+            z_high = tuple(blinds[8:11])
+            for k, b in enumerate(z_high):
+                z_coeffs = z_coeffs.at[k].set(sb(z_coeffs[k], const(b)))
+            comm["z"] = _blind_commit(commit_fn(z_coeffs), z_high, srs, n)
+        else:
+            comm["z"] = commit_fn(z_coeffs)
     t.append_commitment(L.Z, comm["z"])
     alpha_i = t.challenge_scalar(L.ALPHA)
     ch_i = {
@@ -501,17 +576,18 @@ def prove_device(composer, pk, srs, label=None, dpk: DevicePK = None,
 
         from ..cs.composer import SELECTOR_NAMES
 
-        def phase_ntt_many(polys, i):
+        def phase_ntt_many(polys, i, n_phases=4):
             """All of a phase's forward transforms as ONE batched NTT
             (single-device; the mesh path keeps per-poly sharded
             transforms)."""
+            pows = dpk.phase_pows(i, n_phases=n_phases)
             if mesh is not None:
-                return [_ntt(mm(p, dpk.phase_pows(i)), log_n)
-                        for p in polys]
-            st = mm(jnp.stack(polys), dpk.phase_pows(i)[None])
+                return [_ntt(mm(p, pows), log_n) for p in polys]
+            st = mm(jnp.stack(polys), pows[None])
             return list(nttmod.ntt_many(st, log_n))
 
-        if dpk.cache_phases and dpk.phase_static is None:
+        if blinds is None and dpk.cache_phases \
+                and dpk.phase_static is None:
             static = [dpk.sel_coeffs[k] for k in SELECTOR_NAMES] \
                 + list(dpk.sigma_coeffs)
             dpk.phase_static = []
@@ -520,43 +596,72 @@ def prove_device(composer, pk, srs, label=None, dpk: DevicePK = None,
                 dpk.phase_static.append(
                     (dict(zip(SELECTOR_NAMES, out[:len(SELECTOR_NAMES)])),
                      out[len(SELECTOR_NAMES):]))
+        n_phases = 4 if blinds is None else 8
+        if blinds is not None:
+            dpk.build_phase8()
+        phase_s = dpk.phase_s if blinds is None else dpk.phase8_s
+        phase_u = None if blinds is None else dpk.phase8_u
+        zh_inv_ph = dpk.zh_inv_phase if blinds is None \
+            else dpk.zh_inv_phase8
+        l1c_ph = dpk.l1c_phase if blinds is None else dpk.l1c_phase8
+        vinv = dpk.vinv if blinds is None else dpk.v8inv
+        n_chunks = 4 if blinds is None else 5
+
         t_phase = []
-        for i in range(4):
+        for i in range(n_phases):
             dyn = [wire_coeffs[w] for w in "abcd"] + [z_coeffs, pi_coeffs]
-            if dpk.phase_static is not None:
+            if blinds is None and dpk.phase_static is not None:
                 out = phase_ntt_many(dyn, i)
                 sel_ph, sigma_ph = dpk.phase_static[i]
             else:
                 out = phase_ntt_many(
                     dyn + [dpk.sel_coeffs[k] for k in SELECTOR_NAMES]
-                    + list(dpk.sigma_coeffs), i)
+                    + list(dpk.sigma_coeffs), i, n_phases)
                 sel_ph = dict(zip(SELECTOR_NAMES, out[6:6 + 11]))
                 sigma_ph = out[6 + 11:]
             wire_ph = dict(zip("abcd", out[:4]))
             z_ph, pi_ph = out[4], out[5]
-            xpts = mm(const(dpk.phase_s[i], (n,)), dpk.domain_elems)
+            xpts = mm(const(phase_s[i], (n,)), dpk.domain_elems)
+            if blinds is not None:
+                # rank-1 blinding corrections: x^(n+k) = u_i * x^k is
+                # a CONSTANT times x^k on the interleaved coset s_i*H
+                u = phase_u[i]
+                for j, w in enumerate("abcd"):
+                    b0, b1 = wire_high[w]
+                    corr = ad(const(u * b0 % R_MOD, (n,)),
+                              mm(const(u * b1 % R_MOD, (n,)), xpts))
+                    wire_ph[w] = ad(wire_ph[w], corr)
+                x2 = mm(xpts, xpts)
+                zc = ad(const(u * z_high[0] % R_MOD, (n,)),
+                        mm(const(u * z_high[1] % R_MOD, (n,)), xpts))
+                zc = ad(zc, mm(const(u * z_high[2] % R_MOD, (n,)), x2))
+                z_ph = ad(z_ph, zc)
             t_phase.append(quotient_phase_dev(
                 wire_ph, z_ph, pi_ph, sel_ph, sigma_ph, xpts, alpha, ch,
-                to_dev_scalar(dpk.zh_inv_phase[i]),
-                to_dev_scalar(dpk.l1c_phase[i])))
+                to_dev_scalar(zh_inv_ph[i]),
+                to_dev_scalar(l1c_ph[i])))
         if mesh is None:
             t_inv = list(nttmod.ntt_many(jnp.stack(t_phase), log_n,
                                          inverse=True))
         else:
             t_inv = [_intt(t, log_n) for t in t_phase]
-        c_phase = [mm(t_inv[i], dpk.phase_pows(i, inverse=True))
-                   for i in range(4)]
-        # t_{mn+k} from the 4 phase coefficient streams: inverse
-        # Vandermonde in u_i = s_i^n (DevicePK.vinv)
+        c_phase = [mm(t_inv[i],
+                      dpk.phase_pows(i, inverse=True, n_phases=n_phases))
+                   for i in range(n_phases)]
+        # t_{mn+k} from the phase coefficient streams: inverse
+        # Vandermonde in u_i = s_i^n; with blinding only chunks 0..4
+        # are nonzero (deg t = 4n+6), the rest are dropped
         chunks = []
-        for mth in range(4):
-            acc = mm(const(dpk.vinv[mth][0], (n,)), c_phase[0])
-            for i in range(1, 4):
-                acc = ad(acc, mm(const(dpk.vinv[mth][i], (n,)),
+        for mth in range(n_chunks):
+            acc = mm(const(vinv[mth][0], (n,)), c_phase[0])
+            for i in range(1, n_phases):
+                acc = ad(acc, mm(const(vinv[mth][i], (n,)),
                                  c_phase[i]))
             chunks.append(acc)
         chunk_comms = commit_many_fn(chunks)
-        for k, lbl in enumerate((L.T_1, L.T_2, L.T_3, L.T_4)):
+        t_labels = (L.T_1, L.T_2, L.T_3, L.T_4) if blinds is None \
+            else (L.T_1, L.T_2, L.T_3, L.T_4, L.T_5)
+        for k, lbl in enumerate(t_labels):
             comm[f"t_{k + 1}"] = chunk_comms[k]
             t.append_commitment(lbl, comm[f"t_{k + 1}"])
     zeta_i = t.challenge_scalar(L.ZETA)
@@ -581,6 +686,25 @@ def prove_device(composer, pk, srs, label=None, dpk: DevicePK = None,
         ev["z_shifted"] = _ev(z_coeffs, zw_pows)
         ev_i = {k: from_dev(v)[0] for k, v in ev.items()}
 
+        r_high = ()
+        if blinds is not None:
+            # host high-coefficient eval corrections:
+            # p'(x) = p_low(x) + sum_k h_k x^(n+k)
+            def _hi(highs, x):
+                xp = pow(x, n, R_MOD)
+                acc = 0
+                for h in highs:
+                    acc = (acc + h * xp) % R_MOD
+                    xp = xp * x % R_MOD
+                return acc
+            for j, w in enumerate("abcd"):
+                ev_i[w] = (ev_i[w] + _hi(wire_high[w], zeta_i)) % R_MOD
+                if w != "c":
+                    ev_i[w + "_next"] = (ev_i[w + "_next"]
+                                         + _hi(wire_high[w], zw_i)) % R_MOD
+            ev_i["z_shifted"] = (ev_i["z_shifted"]
+                                 + _hi(z_high, zw_i)) % R_MOD
+
         co = host.linearization_coefficients(
             ev_i, zeta_i, beta_i, gamma_i, alpha_i, ch_i, dom)
         r_coeffs = jnp.zeros((n, 16), jnp.uint32)
@@ -592,6 +716,10 @@ def prove_device(composer, pk, srs, label=None, dpk: DevicePK = None,
         r_coeffs = ad(r_coeffs, mm(const(co["sigma4"], (n,)),
                                    dpk.sigma_coeffs[3]))
         ev_i["r"] = from_dev(_ev(r_coeffs, zeta_pows))[0]
+        if blinds is not None:
+            # r inherits z's high coefficients scaled by co["z"]
+            r_high = tuple(co["z"] * h % R_MOD for h in z_high)
+            ev_i["r"] = (ev_i["r"] + _hi(r_high, zeta_i)) % R_MOD
 
         pi_at_zeta = host.eval_pi(composer.pi, dom, zeta_i)
         t_eval = host.compute_t_eval(ev_i, pi_at_zeta, zeta_i, beta_i,
@@ -625,9 +753,22 @@ def prove_device(composer, pk, srs, label=None, dpk: DevicePK = None,
             (wire_coeffs["b"], ev_i["b_next"]),
             (wire_coeffs["d"], ev_i["d_next"]),
         ]
-        comm["w_z"], comm["w_zw"] = commit_many_fn(
-            [_aggregate_open(agg_zeta, v_i, zeta_i),
-             _aggregate_open(agg_zw, v_i, zw_i)])
+        if blinds is None:
+            comm["w_z"], comm["w_zw"] = commit_many_fn(
+                [_aggregate_open(agg_zeta, v_i, zeta_i),
+                 _aggregate_open(agg_zw, v_i, zw_i)])
+        else:
+            hz = [(), r_high] + [wire_high[w] for w in "abcd"] + [()] * 7
+            hzw = [z_high] + [wire_high[w] for w in "abd"]
+            qz, qz_high = _aggregate_open_blinded(
+                [(c, v, h) for (c, v), h in zip(agg_zeta, hz)],
+                v_i, zeta_i, n)
+            qzw, qzw_high = _aggregate_open_blinded(
+                [(c, v, h) for (c, v), h in zip(agg_zw, hzw)],
+                v_i, zw_i, n)
+            cms = commit_many_fn([qz, qzw])
+            comm["w_z"] = _blind_commit(cms[0], qz_high, srs, n)
+            comm["w_zw"] = _blind_commit(cms[1], qzw_high, srs, n)
     t.append_commitment(L.W_Z, comm["w_z"])
     t.append_commitment(L.W_Z_W, comm["w_zw"])
 
@@ -656,3 +797,42 @@ def _aggregate_open(poly_value_pairs, v_i: int, point_i: int):
     z_inv = pow(point_i, -1, R_MOD)
     return ruffini_dev(agg, to_dev_scalar(point_i),
                        to_dev_scalar(z_inv), to_dev_scalar(agg_val))
+
+
+def _aggregate_open_blinded(triples, v_i: int, point_i: int, n: int):
+    """_aggregate_open for blinded polynomials: each triple is
+    (low_coeffs_dev, value, highs) with `highs` the host-tracked
+    coefficients at X^(n+k).  The division splits linearly:
+      (p_low - p_low(z))/(X-z)   -> the usual device Ruffini;
+      (p_high - p_high(z))/(X-z) -> closed form: quotient coeffs are
+        b_{n+1} = h2, b_n = h1 + z h2, b_{n-1} = h0 + z b_n, and
+        b_k = z^(n-1-k) b_{n-1} for k <= n-1 (a single scaled
+        inverse-power vector on device).
+    Returns (device (n,16) quotient low part, (b_n, b_{n+1}) host
+    highs for the commitment correction)."""
+    agg = jnp.zeros((n, 16), jnp.uint32)
+    agg_val = 0
+    vp = 1
+    hi = [0, 0, 0]
+    for coeffs, value, highs in triples:
+        agg = ad(agg, mm(const(vp, (n,)), coeffs))
+        agg_val = (agg_val + vp * value) % R_MOD
+        for k, h in enumerate(highs):
+            hi[k] = (hi[k] + vp * h) % R_MOD
+        vp = vp * v_i % R_MOD
+    z = point_i
+    z_inv = pow(z, -1, R_MOD)
+    zpn = pow(z, n, R_MOD)
+    v_high = (hi[0] * zpn + hi[1] * zpn * z + hi[2] * zpn * z * z) % R_MOD
+    v_low = (agg_val - v_high) % R_MOD
+    q_low = ruffini_dev(agg, to_dev_scalar(z), to_dev_scalar(z_inv),
+                        to_dev_scalar(v_low))          # (n-1, 16)
+    b_np1 = hi[2]
+    b_n = (hi[1] + z * hi[2]) % R_MOD
+    b_nm1 = (hi[0] + z * b_n) % R_MOD
+    q = jnp.concatenate([q_low, jnp.zeros((1, 16), jnp.uint32)], axis=0)
+    scale = b_nm1 * pow(z, n - 1, R_MOD) % R_MOD
+    if scale:
+        q = ad(q, mm(const(scale, (n,)),
+                     powers_of(to_dev_scalar(z_inv), n)))
+    return q, (b_n, b_np1)
