@@ -21,3 +21,18 @@ def test_device_commit_matches_host():
     assert got == want
     # zero polynomial -> identity commitment
     assert com.commit(ed.to_dev([0] * 32)) is None
+
+
+def test_commit_many_matches_individual():
+    """The pipelined batch commit (round-pipeline overlap, SURVEY
+    §2.10) must equal per-polynomial commits, including shorter-than-
+    max and zero polynomials; prove_device auto-detects commit_many on
+    bound committers, so this is the path every device prove takes."""
+    srs = srs_mod.cached_setup(40)
+    com = DeviceCommitter(srs, 32, c=4)
+    polys = [[rng.randrange(R_MOD) for _ in range(32)],
+             [rng.randrange(R_MOD) for _ in range(7)],
+             [0] * 32]
+    want = [kzg.commit(p, srs) for p in polys]
+    got = com.commit_many([ed.to_dev(p) for p in polys])
+    assert got == want

@@ -490,9 +490,14 @@ def prove_device(composer, pk, srs, label=None, dpk: DevicePK = None,
         commit_fn = lambda coeffs_dev: kzg.commit(from_dev(coeffs_dev), srs)  # noqa: E731
     if commit_many_fn is None:
         # pipelined committers expose commit_many (host CSR build of
-        # poly k+1 overlaps the device MSM of poly k); otherwise fall
-        # back to sequential commits
-        commit_many_fn = lambda cl: [commit_fn(cf) for cf in cl]  # noqa: E731
+        # poly k+1 overlaps the device MSM of poly k — the SURVEY §2.10
+        # "round pipeline" within-round overlap); auto-detect it on the
+        # bound committer, else fall back to sequential commits
+        owner = getattr(commit_fn, "__self__", None)
+        if owner is not None and hasattr(owner, "commit_many"):
+            commit_many_fn = owner.commit_many
+        else:
+            commit_many_fn = lambda cl: [commit_fn(cf) for cf in cl]  # noqa: E731
 
     n = pk.n
     log_n = dpk.log_n
