@@ -495,7 +495,29 @@ def commit_many_packed(points_packed, coeffs_list, c: int,
         l1, l2 = csr_from_limbs(cn, c, n_windows)
         sums.append(window_sums(points_packed, jax.device_put(l1),
                                 jax.device_put(l2), c))
-    return [fold_windows_host(sums_to_host(s), c) for s in sums]
+    # ONE device->host pull for all polynomials' window sums: each
+    # per-poly sums_to_host costs a tunnel round-trip; convert from
+    # Montgomery on device, pull the stacked (P, W, 3, 24) once, and
+    # normalize projective -> affine purely on host
+    canon = np.asarray(dev.from_mont(jnp.stack(sums), FP))
+    return [fold_windows_host(_canon_sums_to_host(s), c) for s in canon]
+
+
+def _canon_sums_to_host(s: np.ndarray) -> list:
+    """(W, 3, 24) CANONICAL (non-Montgomery) numpy limbs -> affine host
+    points (None = identity); host-only math."""
+    from ..params import P_MOD
+    xs = limbs.limbs_to_ints(s[:, 0])
+    ys = limbs.limbs_to_ints(s[:, 1])
+    zs = limbs.limbs_to_ints(s[:, 2])
+    out = []
+    for x, y, z in zip(xs, ys, zs):
+        if z == 0:
+            out.append(None)
+        else:
+            zi = pow(z, -1, P_MOD)
+            out.append((x * zi % P_MOD, y * zi % P_MOD))
+    return out
 
 
 def msm(points, scalars, c: int = 12, n_windows: int = None):

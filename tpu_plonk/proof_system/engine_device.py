@@ -689,7 +689,11 @@ def prove_device(composer, pk, srs, label=None, dpk: DevicePK = None,
         for nm in ("q_arith", "q_c", "q_l", "q_r"):
             ev[nm] = _ev(dpk.sel_coeffs[nm], zeta_pows)
         ev["z_shifted"] = _ev(z_coeffs, zw_pows)
-        ev_i = {k: from_dev(v)[0] for k, v in ev.items()}
+        # ONE device->host pull for all evaluations: each from_dev is a
+        # full tunnel round-trip, and there are ~16 of them
+        names = list(ev)
+        vals = from_dev(jnp.stack([ev[k] for k in names]))
+        ev_i = dict(zip(names, vals))
 
         r_high = ()
         if blinds is not None:
