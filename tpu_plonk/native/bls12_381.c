@@ -661,18 +661,35 @@ static void f12_mul_sparse023(fp12 *f, const fp2 *c0, const fp2 *c2,
 
 typedef struct { fp2 x, y; } g2_aff;
 
-/* line through t,q (t==q -> tangent) evaluated at P=(xp,yp in Mont);
- * outputs sparse coeffs and advances t */
-static void line2(fp2 *c0, fp2 *c2, fp2 *c3, g2_aff *t, const g2_aff *q,
-                  const fp *xp_neg, const fp *yp)
+/* ---- prepared lines (the verifier pairs the SAME two G2 points —
+ * [tau]G2 and the G2 generator — every proof, so the line chain is
+ * P-independent: cache (lam, lam*x_T - y_T) per step and the product
+ * Miller loop below needs no Fp2 inversions or point updates) -------- */
+
+#define MAX_LINES 130   /* 63 doubling + per-1-bit addition steps */
+#define PREP_CACHE 8
+
+typedef struct { fp2 lam, c0; } line_coeffs;
+
+typedef struct {
+    uint64_t key[24];            /* canonical G2 coords */
+    int n;
+    line_coeffs ln[MAX_LINES];
+} g2_prepared;
+
+static g2_prepared prep_cache[PREP_CACHE];
+static int prep_count = 0;
+
+/* P-independent part of line2 (t,q in Montgomery twist coords) */
+static void line_coeffs_step(line_coeffs *out, g2_aff *t, const g2_aff *q)
 {
     fp2 num, den, lam, x3, y3, s;
     if (f2_eq(&t->x, &q->x) && f2_eq(&t->y, &q->y)) {
         f2_sqr(&num, &t->x);
         fp2 n2;
         f2_dbl(&n2, &num);
-        f2_add(&num, &n2, &num);     /* 3 x^2 */
-        f2_dbl(&den, &t->y);         /* 2 y   */
+        f2_add(&num, &n2, &num);
+        f2_dbl(&den, &t->y);
     } else {
         f2_sub(&num, &q->y, &t->y);
         f2_sub(&den, &q->x, &t->x);
@@ -685,38 +702,73 @@ static void line2(fp2 *c0, fp2 *c2, fp2 *c3, g2_aff *t, const g2_aff *q,
     f2_sub(&s, &t->x, &x3);
     f2_mul(&y3, &lam, &s);
     f2_sub(&y3, &y3, &t->y);
-    /* c0 = lam x1 - y1; c2 = lam * (-xp); c3 = yp (embedded in Fp2) */
-    f2_mul(c0, &lam, &t->x);
-    f2_sub(c0, c0, &t->y);
-    f2_scale(c2, &lam, xp_neg);
-    c3->c0 = *yp;
-    memset(&c3->c1, 0, sizeof(fp));
-    t->x = x3; t->y = y3;
+    out->lam = lam;
+    f2_mul(&out->c0, &lam, &t->x);
+    f2_sub(&out->c0, &out->c0, &t->y);
+    t->x = x3;
+    t->y = y3;
 }
 
-/* Miller loop f_{x,Q}(P); p affine Montgomery (xp, yp), q on the twist */
-static void miller_loop(fp12 *f, const fp *xp, const fp *yp,
-                        const g2_aff *q)
+static const g2_prepared *prepare_g2(const uint64_t *g2_canon)
 {
-    g2_aff t = *q;
-    fp xp_neg;
-    fp_neg(&xp_neg, xp);
-    f12_one(f);
-    fp2 c0, c2, c3;
-    /* bits of BLS_X below the leading one, MSB first */
+    for (int i = 0; i < prep_count; i++)
+        if (!memcmp(prep_cache[i].key, g2_canon, 24 * 8))
+            return &prep_cache[i];
+    g2_prepared *p = prep_count < PREP_CACHE ? &prep_cache[prep_count++]
+                                             : &prep_cache[PREP_CACHE - 1];
+    memcpy(p->key, g2_canon, 24 * 8);
+    g2_aff q;
+    fp t;
+    memcpy(t.l, g2_canon, 48);      fp_to_mont(&q.x.c0, &t);
+    memcpy(t.l, g2_canon + 6, 48);  fp_to_mont(&q.x.c1, &t);
+    memcpy(t.l, g2_canon + 12, 48); fp_to_mont(&q.y.c0, &t);
+    memcpy(t.l, g2_canon + 18, 48); fp_to_mont(&q.y.c1, &t);
+    g2_aff tt = q;
+    p->n = 0;
     int started = 0;
     for (int i = 63; i >= 0; i--) {
         uint64_t bit = (BLS_X >> i) & 1;
-        if (!started) {
-            if (bit) started = 1;
-            continue;
-        }
+        if (!started) { if (bit) started = 1; continue; }
+        line_coeffs_step(&p->ln[p->n++], &tt, &tt);
+        if (bit)
+            line_coeffs_step(&p->ln[p->n++], &tt, &q);
+    }
+    return p;
+}
+
+/* Product of Miller loops over all live pairs with ONE shared
+ * squaring chain: f <- f^2 once per bit, then every pair multiplies
+ * its (prepared) line in — saves (npairs-1) full f12_sqr chains and
+ * all per-step Fp2 inversions. */
+static void miller_product(fp12 *f, long npairs, const fp *xp_neg,
+                           const fp *yp, const g2_prepared **preps)
+{
+    f12_one(f);
+    int idx = 0;
+    int started = 0;
+    for (int i = 63; i >= 0; i--) {
+        uint64_t bit = (BLS_X >> i) & 1;
+        if (!started) { if (bit) started = 1; continue; }
         f12_sqr(f, f);
-        line2(&c0, &c2, &c3, &t, &t, &xp_neg, yp);
-        f12_mul_sparse023(f, &c0, &c2, &c3);
+        for (long k = 0; k < npairs; k++) {
+            const line_coeffs *ln = &preps[k]->ln[idx];
+            fp2 c2, c3;
+            f2_scale(&c2, &ln->lam, &xp_neg[k]);
+            c3.c0 = yp[k];
+            memset(&c3.c1, 0, sizeof(fp));
+            f12_mul_sparse023(f, &ln->c0, &c2, &c3);
+        }
+        idx++;
         if (bit) {
-            line2(&c0, &c2, &c3, &t, q, &xp_neg, yp);
-            f12_mul_sparse023(f, &c0, &c2, &c3);
+            for (long k = 0; k < npairs; k++) {
+                const line_coeffs *ln = &preps[k]->ln[idx];
+                fp2 c2, c3;
+                f2_scale(&c2, &ln->lam, &xp_neg[k]);
+                c3.c0 = yp[k];
+                memset(&c3.c1, 0, sizeof(fp));
+                f12_mul_sparse023(f, &ln->c0, &c2, &c3);
+            }
+            idx++;
         }
     }
     fp12 out;
@@ -991,23 +1043,32 @@ int b381_pairing_product(long n, const uint64_t *g1pts,
                          const uint8_t *g2inf, uint64_t *out)
 {
     ensure_init();
-    fp12 f, ml;
+    enum { MAXP = 16 };
+    const g2_prepared *preps[MAXP];
+    fp xp_neg[MAXP], yp[MAXP];
+    long live = 0;
+    fp12 f;
     f12_one(&f);
     for (long i = 0; i < n; i++) {
         if (g1inf[i] || g2inf[i]) continue;
-        fp xc, yc, xm, ym;
+        fp xc, yc, xm;
         memcpy(xc.l, g1pts + i * 12, 48);
         memcpy(yc.l, g1pts + i * 12 + 6, 48);
         fp_to_mont(&xm, &xc);
-        fp_to_mont(&ym, &yc);
-        g2_aff q;
-        fp t;
-        memcpy(t.l, g2pts + i * 24, 48);      fp_to_mont(&q.x.c0, &t);
-        memcpy(t.l, g2pts + i * 24 + 6, 48);  fp_to_mont(&q.x.c1, &t);
-        memcpy(t.l, g2pts + i * 24 + 12, 48); fp_to_mont(&q.y.c0, &t);
-        memcpy(t.l, g2pts + i * 24 + 18, 48); fp_to_mont(&q.y.c1, &t);
-        miller_loop(&ml, &xm, &ym, &q);
-        f12_mul(&f, &f, &ml);
+        fp_to_mont(&yp[live], &yc);
+        fp_neg(&xp_neg[live], &xm);
+        preps[live] = prepare_g2(g2pts + i * 24);
+        if (++live == MAXP) {
+            fp12 part;
+            miller_product(&part, live, xp_neg, yp, preps);
+            f12_mul(&f, &f, &part);
+            live = 0;
+        }
+    }
+    if (live) {
+        fp12 part;
+        miller_product(&part, live, xp_neg, yp, preps);
+        f12_mul(&f, &f, &part);
     }
     fp12 r;
     final_exponentiation(&r, &f);
