@@ -46,10 +46,12 @@ def cmd_demo(cfg):
             if composer.padded_size() >= (1 << 13):
                 com = DeviceCommitter(srs, composer.padded_size(), c=4)
                 commit_fn = com.commit
-            proof = prove_device(composer, pk, srs, metrics=met,
-                                 commit_fn=commit_fn)
+            proof = prove_device(
+                composer, pk, srs, metrics=met, commit_fn=commit_fn,
+                blinding_seed=cfg.blind.encode() or None)
         else:
-            proof = prove(composer, pk, srs, ckpt=ckpt)
+            proof = prove(composer, pk, srs, ckpt=ckpt,
+                          blinding_seed=cfg.blind.encode() or None)
     with met.timed("verify"):
         ok = verify(proof, vk, composer.pi, srs)
     met.count("proof_bytes", len(proof.to_bytes()))

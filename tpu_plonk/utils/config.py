@@ -13,6 +13,7 @@ class Config:
     mesh_devices: int = 1         # devices on the 'shard' axis
     engine: str = "host"          # 'host' | 'device'
     checkpoint: str = ""          # round-boundary resume file ('' = off)
+    blind: str = ""               # ZK blinding seed ('' = deterministic)
     srs_seed: bytes = b"tpu-plonk insecure srs"
     label: bytes = b"plonk"
 
@@ -26,8 +27,12 @@ def parse_args(argv=None) -> Config:
     p.add_argument("--checkpoint", default="",
                    help="resume file: prover rounds memoized at this "
                         "path survive a crash/restart")
+    p.add_argument("--blind", default="",
+                   help="ZK variant: seed for deterministic blinding "
+                        "(5-chunk quotient, 1088-byte proofs); keep "
+                        "the seed secret and fresh per proof")
     a = p.parse_args(argv)
     return Config(log_gates=a.log_gates,
                   msm_window_bits=a.msm_window_bits,
                   mesh_devices=a.mesh_devices, engine=a.engine,
-                  checkpoint=a.checkpoint)
+                  checkpoint=a.checkpoint, blind=a.blind)
