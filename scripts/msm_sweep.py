@@ -31,6 +31,22 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
 def main():
     log_n = int(sys.argv[1]) if len(sys.argv) > 1 else 18
     quick = "--quick" in sys.argv
+
+    if "--tiles" in sys.argv:
+        # sweep the Pallas point-add tile width (read at import, so
+        # each variant runs in a fresh interpreter) at the default
+        # (c, chunk); results append to the same msm_sweep.json
+        import subprocess
+        for tile in (256, 512, 1024, 2048):
+            env = dict(os.environ)
+            env["TPU_PLONK_G1_TILE"] = str(tile)
+            args = [sys.executable, os.path.abspath(__file__),
+                    str(log_n), "--quick", f"--tag=tile{tile}"]
+            subprocess.run(args, env=env, timeout=7200)
+        return
+
+    tag = next((a.split("=", 1)[1] for a in sys.argv
+                if a.startswith("--tag=")), "")
     n = 1 << log_n
 
     from tpu_plonk.curves import g1
@@ -43,12 +59,16 @@ def main():
     canon[:, 15] &= 0x7FFF
 
     grid = []
-    for c in ((12, 13) if quick else (11, 12, 13, 14)):
-        default = msm_csr.default_chunk(n, c)
-        cands = sorted({32, 64, 128, default,
-                        max(32, default // 2), max(32, default // 4)})
-        for chunk in cands:
-            grid.append((c, chunk))
+    if tag:
+        # tile-width sweep: one (c, chunk) point per interpreter
+        grid = [(13, msm_csr.default_chunk(n, 13))]
+    else:
+        for c in ((12, 13) if quick else (11, 12, 13, 14)):
+            default = msm_csr.default_chunk(n, c)
+            cands = sorted({32, 64, 128, default,
+                            max(32, default // 2), max(32, default // 4)})
+            for chunk in cands:
+                grid.append((c, chunk))
 
     out_path = os.path.join(os.path.dirname(__file__), "..",
                             "bench_results", "msm_sweep.json")
@@ -74,7 +94,7 @@ def main():
             np.asarray(s[..., :1])
             times.append(time.time() - t0)
         dev_s = min(times)
-        row = {"log_n": log_n, "c": c, "chunk": chunk,
+        row = {"log_n": log_n, "c": c, "chunk": chunk, "tag": tag,
                "R": int(l1.shape[0]), "M2": int(l2.shape[2]),
                "host_csr_s": round(host_s, 3),
                "compile_s": round(compile_s, 1),

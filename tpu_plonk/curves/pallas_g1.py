@@ -40,7 +40,13 @@ from ..fields import limbs as limbsmod
 from ..fields import device as dev
 
 L = 24          # Fp limbs
-TILE = 256      # points (lanes) per kernel instance
+# Points (lanes) per kernel instance.  The Pallas grid is SEQUENTIAL
+# on a TPU core, so at R ~ 47k rows a 256-lane tile means ~183 grid
+# steps of per-step overhead per accumulate iteration; wider tiles
+# amortize it (VMEM working set ~1-2 MB per 1k lanes).  Env-tunable
+# for the bench sweep (scripts/msm_sweep.py --tiles).
+import os as _os
+TILE = int(_os.environ.get("TPU_PLONK_G1_TILE", "256"))
 
 _MOD = limbsmod.int_to_limbs(P_MOD, L)
 _NEG_INV = limbsmod.int_to_limbs(dev.FP.neg_inv, L)
