@@ -102,16 +102,20 @@ def test_batch_inv_mont():
 
 def test_debug_guards_catch_bad_limbs():
     """Opt-in overflow/canonicity guards (SURVEY §5.2): valid inputs
-    pass, limb-overflow and non-canonical inputs raise.  Uses a unique
-    shape so the guard is baked into a fresh trace."""
+    pass, limb-overflow and non-canonical inputs raise.  The guard is
+    baked at TRACE time, so drop every cached jit trace first — a
+    "unique shape" is not enough once the suite grows (a (3,16) add
+    traced guard-free by an earlier test silently disarmed this one)."""
     import pytest
+    import jax
     import jax.numpy as jnp
     from tpu_plonk.fields import device as dev
 
     old = dev.DEBUG_GUARDS
     dev.DEBUG_GUARDS = True
+    jax.clear_caches()
     try:
-        shape = (3, 16)   # unique in the suite -> fresh trace
+        shape = (3, 16)
         good = jnp.zeros(shape, jnp.uint32).at[:, 0].set(7)
         out = dev.add_mod(good, good, dev.FR)
         assert out[0, 0] == 14
@@ -124,3 +128,4 @@ def test_debug_guards_catch_bad_limbs():
             jnp.asarray(dev.sub_mod(noncanon, good, dev.FR)).copy()
     finally:
         dev.DEBUG_GUARDS = old
+        jax.clear_caches()   # drop the guarded traces too
