@@ -183,6 +183,8 @@ def main():
             with open(path) as f:
                 res = json.load(f)
             key = f"prove_2^{res['log_gates']}_scale"
+            if res.get("tag"):
+                key += f"_{res['tag']}"
             extra[key + "_steady_s"] = res.get("prove_steady_s")
             extra[key + "_gates_per_s"] = res.get("gates_per_s")
             extra[key + "_source"] = "scripts/prove_scale.py"

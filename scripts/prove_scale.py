@@ -43,6 +43,8 @@ def build_circuit(log_gates: int, poseidon: bool):
 def main():
     log_gates = int(sys.argv[1]) if len(sys.argv) > 1 else 18
     poseidon = "--poseidon" in sys.argv
+    tag = next((a.split("=", 1)[1] for a in sys.argv
+                if a.startswith("--tag=")), "")
 
     from tpu_plonk.pcs import srs_device
     from tpu_plonk.pcs.msm_csr import signed_window_count  # noqa: F401
@@ -50,7 +52,7 @@ def main():
     from tpu_plonk.proof_system.engine_device import prove_device, DevicePK
     from tpu_plonk.proof_system.verifier import verify
 
-    out = {"log_gates": log_gates, "poseidon": poseidon,
+    out = {"log_gates": log_gates, "poseidon": poseidon, "tag": tag,
            "device": str(jax.devices()[0])}
 
     t0 = time.time()
@@ -105,8 +107,10 @@ def main():
     res_dir = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "bench_results")
     os.makedirs(res_dir, exist_ok=True)
+    suffix = f"_{tag}" if tag else ""
     with open(os.path.join(res_dir,
-                           f"prove_scale_{log_gates}.json"), "w") as f:
+                           f"prove_scale_{log_gates}{suffix}.json"),
+              "w") as f:
         json.dump(out, f)
     assert ok
 

@@ -301,15 +301,30 @@ def _carry_array(cols):
     return (s + cin) & LIMB_MASK
 
 
+#: opt-in: route large Fr elementwise multiplies through the fused
+#: Pallas kernel (fields/pallas_fr.py) on real TPUs — the scan comba
+#: below is ~16 dependent HBM passes per multiply at prover scale.
+#: Read at trace time; bit-exact either way (tests/test_pallas_fr.py).
+FR_PALLAS = _os.environ.get("TPU_PLONK_FR_PALLAS", "0") not in ("", "0")
+_FR_PALLAS_MIN = 1 << 15
+
+
 @functools.partial(jax.jit, static_argnames=("ctx",))
 def mont_mul(a, b, ctx: FieldCtx):
     """Montgomery product: a*b*R^{-1} mod q, inputs/outputs canonical
     limbs (<2^16 each), values in [0, q).  One variable*variable scan
-    comba + two constant-operand Toeplitz matmuls (REDC)."""
+    comba + two constant-operand Toeplitz matmuls (REDC); large Fr
+    arrays optionally route through the fused Pallas kernel
+    (FR_PALLAS above)."""
     L = ctx.n_limbs
     shape = jnp.broadcast_shapes(a.shape, b.shape)
     a = jnp.broadcast_to(a.astype(U32), shape)
     b = jnp.broadcast_to(b.astype(U32), shape)
+    if (FR_PALLAS and ctx.name == "fr"
+            and int(np.prod(shape[:-1])) >= _FR_PALLAS_MIN
+            and jax.default_backend() not in ("cpu",)):
+        from . import pallas_fr
+        return pallas_fr.mont_mul(a, b)
     _guard(a, ctx, "mont_mul.a")
     _guard(b, ctx, "mont_mul.b")
     mod_arr = jnp.asarray(ctx.mod_limbs, U32)
