@@ -113,3 +113,25 @@ def test_fourstep_matches_oracle():
         back = [v * rinv % R_MOD
                 for v in limbs.limbs_to_ints(np.asarray(xb))]
         assert back == coeffs
+
+
+def test_fourstep_batched_matches_single():
+    """ntt_4step_many (the quotient phases' 6-poly batch at 2^20+)
+    equals per-poly transforms bit-for-bit, both directions."""
+    import numpy as np
+    import jax.numpy as jnp
+    from tpu_plonk.params import FR_MONT_R
+    from tpu_plonk.fields import limbs
+    from tpu_plonk.poly import ntt as nttmod
+
+    log_n = 8
+    n = 1 << log_n
+    polys = [[(i * k + 13 * k + i) % R_MOD for i in range(n)]
+             for k in range(1, 4)]
+    xs = jnp.stack([jnp.asarray(limbs.fr_to_limbs(
+        [c * FR_MONT_R % R_MOD for c in p])) for p in polys])
+    for inverse in (False, True):
+        got = nttmod.ntt_4step_many(xs, log_n, inverse=inverse)
+        for k in range(3):
+            want = nttmod.ntt_4step(xs[k], log_n, inverse=inverse)
+            assert np.array_equal(np.asarray(got[k]), np.asarray(want))

@@ -131,7 +131,12 @@ def _fourstep_jitted(log_n: int, inverse: bool):
     would retrace every invocation (measured 6 s/call at 2^18).  The
     twiddle table is a runtime ARG, not a captured constant: the remote
     TPU compiler rejects trace-embedded 50-750 MB constants (see
-    ntt_mxu and the git history on W2/twiddles)."""
+    ntt_mxu and the git history on W2/twiddles).
+
+    Accepts a leading batch axis ((B, n, 16)): all B polynomials ride
+    ONE program — the batch widens the MXU column dimension of every
+    int8-DFT level (the prover's quotient phases transform 6+ polys at
+    once; poly/ntt.ntt_many routes here)."""
     n = 1 << log_n
     log_r = log_n // 2
     r = 1 << log_r
@@ -145,13 +150,18 @@ def _fourstep_jitted(log_n: int, inverse: bool):
         # itself 2-level, so the full transform is 3 MXU levels with
         # radixes <= 2^6 and a few-MB W2 each); the butterfly
         # formulation here measured 3.5 s at 2^18 — layout-hostile.
-        m = v.reshape(r, c, 16)
-        a = jnp.swapaxes(m, 0, 1)                    # (c, r, 16) rows j2
-        a = ntt_mxu.ntt_mxu_batched(a, log_r, inverse=inverse)
-        a = dev.mont_mul(a, twj, dev.FR)             # * w^(j2 k1)
-        b = jnp.swapaxes(a, 0, 1)                    # (r, c, 16) rows k1
-        y = ntt_mxu.ntt_mxu_batched(b, log_c, inverse=inverse)
-        return jnp.swapaxes(y, 0, 1).reshape(n, 16)  # X[k1 + r k2]
+        B = v.shape[0]
+        m = v.reshape(B, r, c, 16)
+        a = jnp.swapaxes(m, 1, 2)                    # (B, c, r, 16)
+        a = ntt_mxu.ntt_mxu_batched(
+            a.reshape(B * c, r, 16), log_r,
+            inverse=inverse).reshape(B, c, r, 16)
+        a = dev.mont_mul(a, twj[None], dev.FR)       # * w^(j2 k1)
+        b = jnp.swapaxes(a, 1, 2)                    # (B, r, c, 16)
+        y = ntt_mxu.ntt_mxu_batched(
+            b.reshape(B * r, c, 16), log_c,
+            inverse=inverse).reshape(B, r, c, 16)
+        return jnp.swapaxes(y, 1, 2).reshape(B, n, 16)
 
     return run
 
@@ -168,7 +178,13 @@ def ntt_4step(x, log_n: int, inverse: bool = False):
     x[j1*c + j2]) mirrors dist/ntt_sharded.py without the all_to_all —
     transposes stay on-chip."""
     return _fourstep_jitted(log_n, inverse)(
-        x, _fourstep_tw_dev(log_n, inverse))
+        x[None], _fourstep_tw_dev(log_n, inverse))[0]
+
+
+def ntt_4step_many(xs, log_n: int, inverse: bool = False):
+    """Batched four-step: (B, n, 16) polynomials through ONE program."""
+    return _fourstep_jitted(log_n, inverse)(
+        xs, _fourstep_tw_dev(log_n, inverse))
 
 
 def ntt(x, log_n: int):
@@ -216,7 +232,7 @@ def ntt_many(xs, log_n: int, inverse: bool = False):
     transforms use this — 21 polynomials per quotient phase as ONE
     MXU program instead of 21 dispatches."""
     if log_n >= FOURSTEP_THRESHOLD_LOG_N:
-        return jnp.stack([ntt_4step(x, log_n, inverse) for x in xs])
+        return ntt_4step_many(xs, log_n, inverse)
     if log_n >= MXU_THRESHOLD_LOG_N:
         from . import ntt_mxu
         return ntt_mxu.ntt_mxu_batched(xs, log_n, inverse=inverse)
