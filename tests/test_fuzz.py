@@ -89,3 +89,21 @@ def test_fuzz_random_circuits(seed):
     # tamper one witness-related eval -> must reject
     proof.evals["b"] = (proof.evals["b"] + 1) % R_MOD
     assert not verify(proof, vk, cs.pi, srs)
+
+
+@pytest.mark.parametrize("seed", [44, 55])
+def test_fuzz_blinded(seed):
+    """Random circuits through the ZK variant: blinded proofs verify,
+    tampering (including the extra t_5 commitment) rejects."""
+    rng = random.Random(seed)
+    cs = _random_circuit(rng)
+    assert cs.check_satisfied()
+    srs = srs_mod.cached_setup(cs.padded_size() + 8)
+    pk, vk = preprocess(cs, srs)
+    proof = prove(cs, pk, srs, blinding_seed=bytes([seed]))
+    assert proof.blinded
+    assert verify(proof, vk, cs.pi, srs), f"seed {seed}: rejected"
+    # swap t_5 for t_4 -> must reject
+    proof.commitments["t_5"], proof.commitments["t_4"] = \
+        proof.commitments["t_4"], proof.commitments["t_5"]
+    assert not verify(proof, vk, cs.pi, srs)
