@@ -299,6 +299,7 @@ class DevicePK:
         self.l1c_phase = [(u - 1) * pk.domain.n_inv % R_MOD
                           for u in self.phase_u]
         self._phase_pows = {}
+        self._phase_xl1 = {}
         # selector/sigma phase NTTs are circuit-static: cache them on
         # first prove (60 of the ~100 per-prove transforms) when the
         # footprint allows — 15 sel + 4 sigma arrays x 4 phases x 64 B/n
@@ -342,6 +343,21 @@ class DevicePK:
                                               1 << self.log_n)
         return self._phase_pows[key]
 
+    def phase_xpts_l1(self, i: int, n_phases: int = 4):
+        """(xpts, L1 evals) on phase coset i — circuit-static, cached:
+        the L1 vector needs a 255-step batch inversion, which used to
+        run inside every quotient phase of every prove."""
+        key = (i, n_phases)
+        if key not in self._phase_xl1:
+            s = self.phase_s[i] if n_phases == 4 else self.phase8_s[i]
+            l1_c = self.l1c_phase[i] if n_phases == 4 \
+                else self.l1c_phase8[i]
+            n = 1 << self.log_n
+            xpts = mm(const(s, (n,)), self.domain_elems)
+            l1 = mm(const(l1_c, (n,)), batch_inv(csub(xpts, 1)))
+            self._phase_xl1[key] = (xpts, l1)
+        return self._phase_xl1[key]
+
 
 def wire_values_dev(dpk: DevicePK, witness_mont):
     return {w: witness_mont[dpk.wire_idx[w]] for w in "abcd"}
@@ -371,13 +387,15 @@ def grand_product_dev(wires, sigma_H, domain_elems, beta, gamma, log_n):
 
 @jax.jit
 def quotient_phase_dev(wire_ph, z_ph, pi_ph, sel_ph, sigma_ph, xpts,
-                       alpha, ch, zh_inv_c, l1_c):
+                       alpha, ch, zh_inv_c, l1_vec):
     """t evaluations over ONE interleaved size-n coset s_i*H.  The
     next-row shift is roll(-1) within the phase (index j+4 on the 4n
     coset has the same residue mod 4, one step further in j), so each
-    phase is self-contained.  zh_inv_c / l1_c are the per-phase
-    constants (Z_H and the L1 numerator are constant on s_i*H); all
-    inputs are traced, so ONE compiled program serves all 4 phases."""
+    phase is self-contained.  zh_inv_c is the per-phase Z_H constant
+    (Z_H is constant on s_i*H); l1_vec = L1 evaluated on the phase
+    coset, circuit-static and cached on DevicePK (it needs a 255-step
+    batch inversion — recomputing it per prove was pure waste).  All
+    inputs are traced, so ONE compiled program serves all phases."""
     m = wire_ph["a"].shape[0]
     w = tuple(wire_ph[c] for c in "abcd")
     wn = tuple(jnp.roll(wire_ph[c], -1, axis=0) for c in "abcd")
@@ -392,9 +410,7 @@ def quotient_phase_dev(wire_ph, z_ph, pi_ph, sel_ph, sigma_ph, xpts,
         num = mm(num, ad(ad(w[j], mm(beta, cmul(KS[j], xpts))), gamma))
         den = mm(den, ad(ad(w[j], mm(beta, sigma_ph[j])), gamma))
     perm = sb(mm(num, z_ph), mm(den, jnp.roll(z_ph, -1, axis=0)))
-    l1 = mm(jnp.broadcast_to(l1_c, (m, 16)),
-            batch_inv(csub(xpts, 1)))
-    l1_term = mm(l1, sb(z_ph, const(1, (m,))))
+    l1_term = mm(l1_vec, sb(z_ph, const(1, (m,))))
     alpha_b = jnp.broadcast_to(alpha, (m, 16))
     total = ad(gate, ad(mm(alpha_b, perm),
                         mm(mm(alpha_b, alpha_b), l1_term)))
@@ -604,11 +620,9 @@ def prove_device(composer, pk, srs, label=None, dpk: DevicePK = None,
         n_phases = 4 if blinds is None else 8
         if blinds is not None:
             dpk.build_phase8()
-        phase_s = dpk.phase_s if blinds is None else dpk.phase8_s
         phase_u = None if blinds is None else dpk.phase8_u
         zh_inv_ph = dpk.zh_inv_phase if blinds is None \
             else dpk.zh_inv_phase8
-        l1c_ph = dpk.l1c_phase if blinds is None else dpk.l1c_phase8
         vinv = dpk.vinv if blinds is None else dpk.v8inv
         n_chunks = 4 if blinds is None else 5
 
@@ -626,7 +640,7 @@ def prove_device(composer, pk, srs, label=None, dpk: DevicePK = None,
                 sigma_ph = out[6 + 11:]
             wire_ph = dict(zip("abcd", out[:4]))
             z_ph, pi_ph = out[4], out[5]
-            xpts = mm(const(phase_s[i], (n,)), dpk.domain_elems)
+            xpts, l1_vec = dpk.phase_xpts_l1(i, n_phases)
             if blinds is not None:
                 # rank-1 blinding corrections: x^(n+k) = u_i * x^k is
                 # a CONSTANT times x^k on the interleaved coset s_i*H
@@ -643,8 +657,7 @@ def prove_device(composer, pk, srs, label=None, dpk: DevicePK = None,
                 z_ph = ad(z_ph, zc)
             t_phase.append(quotient_phase_dev(
                 wire_ph, z_ph, pi_ph, sel_ph, sigma_ph, xpts, alpha, ch,
-                to_dev_scalar(zh_inv_ph[i]),
-                to_dev_scalar(l1c_ph[i])))
+                to_dev_scalar(zh_inv_ph[i]), l1_vec))
         if mesh is None:
             t_inv = list(nttmod.ntt_many(jnp.stack(t_phase), log_n,
                                          inverse=True))
