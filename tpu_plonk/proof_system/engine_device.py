@@ -32,6 +32,13 @@ from ..poly import ntt as nttmod
 FR = dev.FR
 RINV = pow(FR_MONT_R, -1, R_MOD)
 
+import os as _os
+#: opt-in: run the quotient pointwise body as ONE fused Pallas kernel
+#: per phase (proof_system/quotient_pallas.py) on real TPUs; bit-exact
+#: either way (tests/test_quotient_pallas.py).
+_QUOT_PALLAS = _os.environ.get("TPU_PLONK_QUOT_PALLAS", "0") \
+    not in ("", "0")
+
 
 # ---------------------------------------------------------------------------
 # host <-> device scalar helpers
@@ -655,7 +662,11 @@ def prove_device(composer, pk, srs, label=None, dpk: DevicePK = None,
                         mm(const(u * z_high[1] % R_MOD, (n,)), xpts))
                 zc = ad(zc, mm(const(u * z_high[2] % R_MOD, (n,)), x2))
                 z_ph = ad(z_ph, zc)
-            t_phase.append(quotient_phase_dev(
+            _quot = quotient_phase_dev
+            if _QUOT_PALLAS and jax.default_backend() not in ("cpu",):
+                from .quotient_pallas import quotient_phase_pallas
+                _quot = quotient_phase_pallas
+            t_phase.append(_quot(
                 wire_ph, z_ph, pi_ph, sel_ph, sigma_ph, xpts, alpha, ch,
                 to_dev_scalar(zh_inv_ph[i]), l1_vec))
         if mesh is None:
