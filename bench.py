@@ -106,7 +106,11 @@ def bench_prove():
     ok = verify(proof, vk, cs.pi, srs)
     verify_s = time.time() - t0
     assert ok
-    return prove_s, verify_s
+    t0 = time.time()
+    bproof = prove(cs, pk, srs, blinding_seed=b"bench")
+    blind_s = time.time() - t0
+    assert verify(bproof, vk, cs.pi, srs)
+    return prove_s, verify_s, blind_s
 
 
 def bench_device_prove(log_gates: int = 14):
@@ -139,9 +143,10 @@ def main():
     dev = jax.devices()[0]
     extra = {"device": str(dev)}
 
-    prove_s, verify_s = bench_prove()
+    prove_s, verify_s, blind_s = bench_prove()
     extra["prove_2^10_host_s"] = round(prove_s, 2)
-    extra["verify_s"] = round(verify_s, 2)
+    extra["verify_ms"] = round(verify_s * 1e3, 1)
+    extra["prove_2^10_host_blind_s"] = round(blind_s, 2)
 
     for log_n in (14, 18):
         steady, comp = bench_ntt(log_n)
