@@ -38,6 +38,7 @@ from jax.experimental.pallas import tpu as pltpu
 from ..params import P_MOD
 from ..fields import limbs as limbsmod
 from ..fields import device as dev
+from ..fields import pallas_redc as redc
 
 L = 24          # Fp limbs
 # Points (lanes) per kernel instance.  The Pallas grid is SEQUENTIAL
@@ -47,6 +48,10 @@ L = 24          # Fp limbs
 # for the bench sweep (scripts/msm_sweep.py --tiles).
 import os as _os
 TILE = int(_os.environ.get("TPU_PLONK_G1_TILE", "256"))
+#: in-kernel multiply experiments (fields/pallas_redc.py docstring);
+#: read at import/trace time, bit-exact either way
+MXU = _os.environ.get("TPU_PLONK_PL_MXU", "0") not in ("", "0")
+MUL16 = _os.environ.get("TPU_PLONK_PL_MUL16", "0") not in ("", "0")
 
 _MOD = limbsmod.int_to_limbs(P_MOD, L)
 _NEG_INV = limbsmod.int_to_limbs(dev.FP.neg_inv, L)
@@ -150,11 +155,21 @@ def _comba(a, b, n_out):
     return u + (p << jnp.uint32(8)) + cin
 
 
+def _comba_var(a, b, n_out):
+    if MUL16:
+        return redc.comba_mul16(a, b, n_out, L)
+    return _comba(a, b, n_out)
+
+
 def _mont_mul(a, b):
     """Montgomery product on (L, B) u32 columns (in-kernel)."""
-    t = _carry(_comba(a, b, 2 * L))
-    m = _carry(_comba(t[:L], _ninv_row(a), L))
-    mq = _comba(m, _mod_row(a), 2 * L)
+    t = _carry(_comba_var(a, b, 2 * L))
+    if MXU:
+        m = _carry(redc.const_mul_mxu(t[:L], _consts["ninv_mat"], L))
+        mq = redc.const_mul_mxu(m, _consts["mod_mat"], 2 * L)
+    else:
+        m = _carry(_comba_var(t[:L], _ninv_row(a), L))
+        mq = _comba_var(m, _mod_row(a), 2 * L)
     u = _carry(t + mq)[L:]
     d, borrow = _sub(u, _mod_row(u))
     return jnp.where(borrow == 0, d, u)
@@ -196,10 +211,16 @@ def _rcb_add(x1, y1, z1, x2, y2, z2):
     return rx, ry, rz
 
 
-def _kernel(mod_ref, ninv_ref, px, py, pz, qx, qy, qz, sgn,
-            ox, oy, oz):
+def _kernel(mod_ref, ninv_ref, *refs):
     _consts["mod"] = mod_ref[:]
     _consts["ninv"] = ninv_ref[:]
+    if MXU:
+        (ninv_mat_ref, mod_mat_ref, px, py, pz, qx, qy, qz, sgn,
+         ox, oy, oz) = refs
+        _consts["ninv_mat"] = ninv_mat_ref[:]
+        _consts["mod_mat"] = mod_mat_ref[:]
+    else:
+        px, py, pz, qx, qy, qz, sgn, ox, oy, oz = refs
     qy_v = qy[:]
     # conditional negate (bucket-entry sign): -y = 0 - y mod p, the
     # same algebra as dev.neg_mod (y = 0 stays 0)
@@ -228,14 +249,22 @@ def _add_tiles(p, q, sgn, interpret=False):
         jnp.asarray(_MOD, jnp.uint32)[:, None], (L, TILE))
     ninv_in = jnp.broadcast_to(
         jnp.asarray(_NEG_INV, jnp.uint32)[:, None], (L, TILE))
+    extra_in, extra_specs = [], []
+    if MXU:
+        for mat in (redc.toeplitz_split(dev.FP.neg_inv, L, L),
+                    redc.toeplitz_split(P_MOD, L, 2 * L)):
+            extra_in.append(jnp.asarray(mat))
+            extra_specs.append(pl.BlockSpec(
+                mat.shape, lambda i: (0, 0), memory_space=pltpu.VMEM))
     return pl.pallas_call(
         _kernel,
         grid=grid,
-        in_specs=[cspec, cspec] + [spec] * 3 + [spec] * 3 + [sspec],
+        in_specs=([cspec, cspec] + extra_specs
+                  + [spec] * 3 + [spec] * 3 + [sspec]),
         out_specs=(spec, spec, spec),
         out_shape=out_shape,
         interpret=interpret,
-    )(mod_in, ninv_in, *p, *q, sgn)
+    )(mod_in, ninv_in, *extra_in, *p, *q, sgn)
 
 
 def add_t(p, q, sign=None, interpret=False):

@@ -29,10 +29,15 @@ from jax.experimental.pallas import tpu as pltpu
 from ..params import R_MOD
 from . import limbs as limbsmod
 from . import device as dev
+from . import pallas_redc as redc
 
 L = 16          # Fr limbs
 import os as _os
 TILE = int(_os.environ.get("TPU_PLONK_FR_TILE", "512"))
+#: in-kernel multiply experiments (fields/pallas_redc.py docstring);
+#: read at import/trace time, bit-exact either way
+MXU = _os.environ.get("TPU_PLONK_PL_MXU", "0") not in ("", "0")
+MUL16 = _os.environ.get("TPU_PLONK_PL_MUL16", "0") not in ("", "0")
 
 _MOD = limbsmod.int_to_limbs(R_MOD, L)
 _NEG_INV = limbsmod.int_to_limbs(dev.FR.neg_inv, L)
@@ -101,21 +106,36 @@ def _comba(a, b, n_out):
     return u + (p << jnp.uint32(8)) + cin
 
 
+def _comba_var(a, b, n_out):
+    if MUL16:
+        return redc.comba_mul16(a, b, n_out, L)
+    return _comba(a, b, n_out)
+
+
 def _mont_mul_cols(a, b):
     """Montgomery product on (L, B) u32 columns (in-kernel)."""
     mod = _consts["mod"]
-    ninv = _consts["ninv"]
-    t = _carry(_comba(a, b, 2 * L))
-    m = _carry(_comba(t[:L], ninv, L))
-    mq = _comba(m, mod, 2 * L)
+    t = _carry(_comba_var(a, b, 2 * L))
+    if MXU:
+        m = _carry(redc.const_mul_mxu(t[:L], _consts["ninv_mat"], L))
+        mq = redc.const_mul_mxu(m, _consts["mod_mat"], 2 * L)
+    else:
+        m = _carry(_comba_var(t[:L], _consts["ninv"], L))
+        mq = _comba_var(m, mod, 2 * L)
     u = _carry(t + mq)[L:]
     d, borrow = _sub(u, mod)
     return jnp.where(borrow == 0, d, u)
 
 
-def _kernel(mod_ref, ninv_ref, a_ref, b_ref, o_ref):
+def _kernel(mod_ref, ninv_ref, *refs):
     _consts["mod"] = mod_ref[:]
     _consts["ninv"] = ninv_ref[:]
+    if MXU:
+        ninv_mat_ref, mod_mat_ref, a_ref, b_ref, o_ref = refs
+        _consts["ninv_mat"] = ninv_mat_ref[:]
+        _consts["mod_mat"] = mod_mat_ref[:]
+    else:
+        a_ref, b_ref, o_ref = refs
     o_ref[:] = _mont_mul_cols(a_ref[:], b_ref[:])
 
 
@@ -131,14 +151,21 @@ def _mul_tiles(a, b, interpret=False):
         jnp.asarray(_MOD, jnp.uint32)[:, None], (L, TILE))
     ninv_in = jnp.broadcast_to(
         jnp.asarray(_NEG_INV, jnp.uint32)[:, None], (L, TILE))
+    extra_in, extra_specs = [], []
+    if MXU:
+        for mat in (redc.toeplitz_split(dev.FR.neg_inv, L, L),
+                    redc.toeplitz_split(R_MOD, L, 2 * L)):
+            extra_in.append(jnp.asarray(mat))
+            extra_specs.append(pl.BlockSpec(
+                mat.shape, lambda i: (0, 0), memory_space=pltpu.VMEM))
     return pl.pallas_call(
         _kernel,
         grid=grid,
-        in_specs=[cspec, cspec, spec, spec],
+        in_specs=[cspec, cspec] + extra_specs + [spec, spec],
         out_specs=spec,
         out_shape=jax.ShapeDtypeStruct((L, n), jnp.uint32),
         interpret=interpret,
-    )(mod_in, ninv_in, a, b)
+    )(mod_in, ninv_in, *extra_in, a, b)
 
 
 def mont_mul_t(a, b, interpret=False):
