@@ -71,6 +71,7 @@ def main():
         ok = bool(np.array_equal(np.asarray(pallas_fr.mont_mul(a, b)),
                                  np.asarray(jnp_f(a, b))))
         row = {"log_n": log_n, "tile": pallas_fr.TILE,
+               "mxu": pallas_fr.MXU, "mul16": pallas_fr.MUL16,
                "jnp_ms": round(t_jnp * 1e3, 2),
                "pallas_ms": round(t_pl * 1e3, 2),
                "pallas_t_ms": round(t_plt * 1e3, 2),
