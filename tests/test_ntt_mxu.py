@@ -87,3 +87,79 @@ def test_mxu_intt_roundtrip():
     ci = ntt_mxu.ntt_mxu(xe, log_n, radix, inverse=True)
     got2 = [v * rinv % R_MOD for v in limbs.limbs_to_ints(np.asarray(ci))]
     assert got2 == coeffs
+
+
+def _to_dev(vals):
+    return jnp.asarray(limbs.fr_to_limbs(
+        [v * FR_MONT_R % R_MOD for v in vals]))
+
+
+def _from_dev(y):
+    rinv = pow(FR_MONT_R, -1, R_MOD)
+    return [v * rinv % R_MOD for v in limbs.limbs_to_ints(np.asarray(y))]
+
+
+def test_mxu_scale_folding():
+    """in_scale/out_scale folded into the DFT/twiddle constants must be
+    bit-identical to explicit pre/post Montgomery multiplies (the
+    mechanism behind zero-cost coset and quotient-phase transforms)."""
+    log_n, radix = 8, 16
+    n = 1 << log_n
+    coeffs = [rng.randrange(R_MOD) for _ in range(n)]
+    a = 0x1234567FEDCBA % R_MOD          # arbitrary coset scale
+    # forward with in_scale == NTT of scaled coefficients
+    got = _from_dev(ntt_mxu.ntt_mxu(_to_dev(coeffs), log_n, radix,
+                                    in_scale=a))
+    want = Domain(n).ntt([c * pow(a, j, R_MOD) % R_MOD
+                          for j, c in enumerate(coeffs)])
+    assert got == want
+    # inverse with out_scale == coefficients scaled post-transform
+    ainv = pow(a, -1, R_MOD)
+    back = _from_dev(ntt_mxu.ntt_mxu(_to_dev(want), log_n, radix,
+                                     inverse=True, out_scale=ainv))
+    assert back == coeffs
+    # out_scale on the forward direction too
+    got2 = _from_dev(ntt_mxu.ntt_mxu(_to_dev(coeffs), log_n, radix,
+                                     out_scale=a))
+    plain = Domain(n).ntt(coeffs)
+    assert got2 == [e * pow(a, k, R_MOD) % R_MOD
+                    for k, e in enumerate(plain)]
+
+
+def test_fourstep_scale_folding():
+    """ntt_4step_many with folded scales vs the oracle (3-MXU-level
+    composition; exercises the twiddle-table row/col folding and the
+    sub-transform in/out scale threading)."""
+    from tpu_plonk.poly import ntt as nttmod
+    log_n = 8
+    n = 1 << log_n
+    coeffs = [rng.randrange(R_MOD) for _ in range(n)]
+    g = Domain(n).coset_gen
+    got = _from_dev(nttmod.ntt_4step_many(
+        _to_dev(coeffs)[None], log_n, in_scale=g)[0])
+    want = Domain(n).ntt([c * pow(g, j, R_MOD) % R_MOD
+                          for j, c in enumerate(coeffs)])
+    assert got == want
+    ginv = pow(g, -1, R_MOD)
+    back = _from_dev(nttmod.ntt_4step_many(
+        _to_dev(want)[None], log_n, inverse=True, out_scale=ginv)[0])
+    assert back == coeffs
+
+
+def test_ntt_many_scale_small_route():
+    """ntt_many(scale=) on the small (butterfly) route: explicit
+    multiply fallback must match the oracle both directions."""
+    from tpu_plonk.poly import ntt as nttmod
+    log_n = 6
+    n = 1 << log_n
+    coeffs = [rng.randrange(R_MOD) for _ in range(n)]
+    s = 7
+    got = _from_dev(nttmod.ntt_many(_to_dev(coeffs)[None], log_n,
+                                    scale=s)[0])
+    want = Domain(n).ntt([c * pow(s, j, R_MOD) % R_MOD
+                          for j, c in enumerate(coeffs)])
+    assert got == want
+    sinv = pow(s, -1, R_MOD)
+    back = _from_dev(nttmod.ntt_many(_to_dev(want)[None], log_n,
+                                     inverse=True, scale=sinv)[0])
+    assert back == coeffs

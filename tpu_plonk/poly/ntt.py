@@ -103,8 +103,11 @@ FOURSTEP_THRESHOLD_LOG_N = 20
 
 
 @functools.lru_cache(maxsize=None)
-def _fourstep_tw(log_n: int, log_r: int, inverse: bool):
-    """(c, r) twiddle table W[j2, k1] = omega^(+-j2*k1), Montgomery."""
+def _fourstep_tw(log_n: int, log_r: int, inverse: bool,
+                 in_scale: int = 1, out_scale: int = 1):
+    """(c, r) twiddle table W[j2, k1] = omega^(+-j2*k1), Montgomery.
+    in_scale/out_scale fold geometric scalings (coset / phase-coset
+    transforms): entry[j2, k1] *= in_scale^j2 * out_scale^k1."""
     n = 1 << log_n
     r = 1 << log_r
     c = n >> log_r
@@ -113,10 +116,9 @@ def _fourstep_tw(log_n: int, log_r: int, inverse: bool):
     # row j2 is a geometric sequence with ratio w^j2: build with numpy
     # object ints (vectorized enough at 2^22: c*r = n entries)
     out = np.empty((c, r), dtype=object)
-    row_base = 1
     for j2 in range(c):
-        acc = FR_MONT_R % R_MOD
-        ratio = pow(w, j2, R_MOD)
+        acc = pow(in_scale, j2, R_MOD) * FR_MONT_R % R_MOD
+        ratio = pow(w, j2, R_MOD) * out_scale % R_MOD
         rowv = out[j2]
         for k1 in range(r):
             rowv[k1] = acc
@@ -145,46 +147,66 @@ def _fourstep_jitted(log_n: int, inverse: bool):
 
     from . import ntt_mxu
 
-    def run(v, twj):
+    def run(v, twj, in_scale_r=1, out_scale_c=1):
         # sub-transforms are the batched MXU int8-DFT kernels (each
         # itself 2-level, so the full transform is 3 MXU levels with
         # radixes <= 2^6 and a few-MB W2 each); the butterfly
         # formulation here measured 3.5 s at 2^18 — layout-hostile.
+        # in_scale_r/out_scale_c are the a^c / s^r factors of a folded
+        # geometric scaling (the a^j2 / s^k1 parts ride the twiddle
+        # table twj — see ntt_4step); host ints, not traced.
         B = v.shape[0]
         m = v.reshape(B, r, c, 16)
         a = jnp.swapaxes(m, 1, 2)                    # (B, c, r, 16)
         a = ntt_mxu.ntt_mxu_batched(
             a.reshape(B * c, r, 16), log_r,
-            inverse=inverse).reshape(B, c, r, 16)
+            inverse=inverse, in_scale=in_scale_r).reshape(B, c, r, 16)
         a = dev.mont_mul(a, twj[None], dev.FR)       # * w^(j2 k1)
         b = jnp.swapaxes(a, 1, 2)                    # (B, r, c, 16)
         y = ntt_mxu.ntt_mxu_batched(
             b.reshape(B * r, c, 16), log_c,
-            inverse=inverse).reshape(B, r, c, 16)
+            inverse=inverse, out_scale=out_scale_c).reshape(B, r, c, 16)
         return jnp.swapaxes(y, 1, 2).reshape(B, n, 16)
 
     return run
 
 
 @functools.lru_cache(maxsize=None)
-def _fourstep_tw_dev(log_n: int, inverse: bool):
-    return jnp.asarray(_fourstep_tw(log_n, log_n // 2, inverse))
+def _fourstep_tw_dev(log_n: int, inverse: bool, in_scale: int = 1,
+                     out_scale: int = 1):
+    return jnp.asarray(_fourstep_tw(log_n, log_n // 2, inverse,
+                                    in_scale, out_scale))
 
 
-def ntt_4step(x, log_n: int, inverse: bool = False):
+def ntt_4step(x, log_n: int, inverse: bool = False, in_scale: int = 1,
+              out_scale: int = 1):
     """Single-chip four-step NTT (natural order in/out): inner size-r
     transforms batched over columns, twiddle scale, outer size-c
     transforms batched over rows.  Index math (X[k1 + r*k2] from
     x[j1*c + j2]) mirrors dist/ntt_sharded.py without the all_to_all —
-    transposes stay on-chip."""
-    return _fourstep_jitted(log_n, inverse)(
-        x[None], _fourstep_tw_dev(log_n, inverse))[0]
+    transposes stay on-chip.
+
+    in_scale a: transform of x[j] * a^j; out_scale s: output k scaled
+    by s^k — both folded into the constants (a^j = (a^c)^j1 * a^j2 and
+    s^k = s^k1 * (s^r)^k2 land on the sub-transform matrices and the
+    twiddle table), so coset/phase transforms cost the same as plain
+    ones: no separate full-array Montgomery multiply or HBM pass."""
+    return ntt_4step_many(x[None], log_n, inverse, in_scale,
+                          out_scale)[0]
 
 
-def ntt_4step_many(xs, log_n: int, inverse: bool = False):
-    """Batched four-step: (B, n, 16) polynomials through ONE program."""
+def ntt_4step_many(xs, log_n: int, inverse: bool = False,
+                   in_scale: int = 1, out_scale: int = 1):
+    """Batched four-step: (B, n, 16) polynomials through ONE program
+    (see ntt_4step for the in_scale/out_scale folding semantics)."""
+    in_scale %= R_MOD
+    out_scale %= R_MOD
+    log_r = log_n // 2
+    r = 1 << log_r
+    c = 1 << (log_n - log_r)
     return _fourstep_jitted(log_n, inverse)(
-        xs, _fourstep_tw_dev(log_n, inverse))
+        xs, _fourstep_tw_dev(log_n, inverse, in_scale, out_scale),
+        pow(in_scale, c, R_MOD), pow(out_scale, r, R_MOD))
 
 
 def ntt(x, log_n: int):
@@ -226,16 +248,48 @@ def ntt_batched(x, log_n: int, inverse: bool = False):
     return jax.vmap(f)(flat).reshape(x.shape)
 
 
-def ntt_many(xs, log_n: int, inverse: bool = False):
+@functools.lru_cache(maxsize=None)
+def _geom_pows(log_n: int, base: int):
+    """(n, 16) Montgomery limbs of base^j — explicit-scaling fallback
+    for the small-size NTT routes (the MXU routes fold the scale into
+    their constants instead)."""
+    n = 1 << log_n
+    out, acc = [], 1
+    for _ in range(n):
+        out.append(acc * FR_MONT_R % R_MOD)
+        acc = acc * base % R_MOD
+    return jnp.asarray(limbs.ints_to_limbs(out, 16))
+
+
+def ntt_many(xs, log_n: int, inverse: bool = False, scale: int = 1):
     """Batched transform of independent polynomials: (B, n, 16) ->
     (B, n, 16), size-routed like ntt/intt.  The prover's phase
     transforms use this — 21 polynomials per quotient phase as ONE
-    MXU program instead of 21 dispatches."""
+    MXU program instead of 21 dispatches.
+
+    scale=a: forward computes the transform of x[j]*a^j (evaluation on
+    the coset a*H); inverse scales output coefficient j by a^j (pass
+    a = s^-1 to undo a coset).  On the MXU routes the scaling is folded
+    into the precomputed DFT/twiddle constants — zero runtime cost; the
+    small-size routes do one explicit Montgomery multiply."""
+    scale %= R_MOD
     if log_n >= FOURSTEP_THRESHOLD_LOG_N:
-        return ntt_4step_many(xs, log_n, inverse)
+        if inverse:
+            return ntt_4step_many(xs, log_n, True, out_scale=scale)
+        return ntt_4step_many(xs, log_n, False, in_scale=scale)
     if log_n >= MXU_THRESHOLD_LOG_N:
         from . import ntt_mxu
-        return ntt_mxu.ntt_mxu_batched(xs, log_n, inverse=inverse)
+        if inverse:
+            return ntt_mxu.ntt_mxu_batched(xs, log_n, inverse=True,
+                                           out_scale=scale)
+        return ntt_mxu.ntt_mxu_batched(xs, log_n, in_scale=scale)
+    if scale != 1:
+        pows = _geom_pows(log_n, scale)
+        if inverse:
+            return dev.mont_mul(ntt_batched(xs, log_n, True),
+                                pows[None], dev.FR)
+        return ntt_batched(dev.mont_mul(xs, pows[None], dev.FR),
+                           log_n, False)
     return ntt_batched(xs, log_n, inverse)
 
 
@@ -264,12 +318,20 @@ def _coset_powers(log_n: int, inverse: bool):
 
 
 def coset_ntt(x, log_n: int):
-    """Evaluations of the coefficient vector over the coset g*H."""
+    """Evaluations of the coefficient vector over the coset g*H.
+    At MXU sizes the coset scale is folded into the transform
+    constants (ntt_many scale=) — same cost as a plain NTT."""
+    if log_n >= MXU_THRESHOLD_LOG_N:
+        return ntt_many(x[None], log_n,
+                        scale=Domain(1 << log_n).coset_gen)[0]
     powers = jnp.asarray(_coset_powers(log_n, False))
     return ntt(dev.mont_mul(x, powers, dev.FR), log_n)
 
 
 def coset_intt(x, log_n: int):
+    if log_n >= MXU_THRESHOLD_LOG_N:
+        g_inv = pow(Domain(1 << log_n).coset_gen, -1, R_MOD)
+        return ntt_many(x[None], log_n, inverse=True, scale=g_inv)[0]
     powers = jnp.asarray(_coset_powers(log_n, True))
     return dev.mont_mul(intt(x, log_n), powers, dev.FR)
 

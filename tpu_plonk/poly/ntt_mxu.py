@@ -77,12 +77,19 @@ def _redc_mats():
 
 @functools.lru_cache(maxsize=None)
 def _dft_matrix(radix: int, log_n: int, level: int,
-                inverse: bool = False):
+                inverse: bool = False, col_scale: int = 1,
+                row_scale: int = 1):
     """W2 for one four-step level, int8 (radix*DC, radix*DX).
 
     W[k,j] = w_R^(+-kj) * 2^273  (Montgomery-compensated; the 2^273
     cancels this level's REDC' division).  The inverse transform's
-    1/n factor is folded into the outer (level 1) matrix."""
+    1/n factor is folded into the outer (level 1) matrix.
+
+    col_scale/row_scale fold a geometric input/output scaling into the
+    constants — W[k,j] *= col_scale^j * row_scale^k — which is how
+    coset/phase-coset transforms avoid a separate full-array Montgomery
+    multiply (the scale a^j of x[j], j = n1 + C*n2, separates into
+    (a^C)^n2 on this matrix's columns plus a^n1 on the twiddle table)."""
     n = 1 << log_n
     dom = Domain(radix)
     omega = dom.omega_inv if inverse else dom.omega
@@ -93,9 +100,12 @@ def _dft_matrix(radix: int, log_n: int, level: int,
     w2 = np.zeros((radix * DC, radix * DX), dtype=np.int8)
     wd = np.zeros((radix, radix, 37), dtype=np.int8)
     pw = [pow(omega, k, R_MOD) for k in range(radix)]
+    cpw = [pow(col_scale, j, R_MOD) for j in range(radix)]
+    rpw = [pow(row_scale, k, R_MOD) for k in range(radix)]
     for k in range(radix):
         for j in range(radix):
             val = pw[(k * j) % radix] * comp % R_MOD
+            val = val * cpw[j] % R_MOD * rpw[k] % R_MOD
             wd[k, j] = _int_digits(val, 37)
     for b in range(DX):
         cs = slice(b, b + 37)
@@ -107,17 +117,20 @@ def _dft_matrix(radix: int, log_n: int, level: int,
 
 
 @functools.lru_cache(maxsize=None)
-def _twiddle_table(log_n: int, radix: int, inverse: bool):
-    """(R, C) Montgomery-premultiplied twiddles w_N^(n1*k2) * 2^256,
-    so mont_mul(plain_x, table) = plain product (16-limb arrays)."""
+def _twiddle_table(log_n: int, radix: int, inverse: bool,
+                   row_scale: int = 1, col_scale: int = 1):
+    """(C, R) Montgomery-premultiplied twiddles w_N^(n1*k1) * 2^256,
+    so mont_mul(plain_x, table) = plain product (16-limb arrays).
+    row_scale/col_scale fold geometric input/output scalings:
+    entry[n1, k1] *= row_scale^n1 * col_scale^k1 (see _dft_matrix)."""
     n = 1 << log_n
     c = n // radix
     dom = Domain(n)
     w = dom.omega_inv if inverse else dom.omega
     rows = []
     for n1 in range(c):
-        base = pow(w, n1, R_MOD)
-        acc = 1
+        base = pow(w, n1, R_MOD) * col_scale % R_MOD
+        acc = pow(row_scale, n1, R_MOD)
         vals = []
         for _ in range(radix):
             vals.append(acc * FR_MONT_R % R_MOD)
@@ -307,20 +320,37 @@ def _canonical(x):
     return x
 
 
-def ntt_mxu(x, log_n: int, radix: int = None, inverse: bool = False):
+def ntt_mxu(x, log_n: int, radix: int = None, inverse: bool = False,
+            in_scale: int = 1, out_scale: int = 1):
     """(i)NTT via MXU DFT levels; x (n,16) Montgomery limbs in natural
     order -> transform in natural order (iNTT includes the 1/n)."""
-    return ntt_mxu_batched(x[None], log_n, radix, inverse)[0]
+    return ntt_mxu_batched(x[None], log_n, radix, inverse,
+                           in_scale, out_scale)[0]
 
 
 def ntt_mxu_batched(x, log_n: int, radix: int = None,
-                    inverse: bool = False):
+                    inverse: bool = False, in_scale: int = 1,
+                    out_scale: int = 1):
     """Batched (i)NTT: x (B, n, 16) -> (B, n, 16), each row transformed
-    independently (natural order both ways; iNTT includes the 1/n)."""
+    independently (natural order both ways; iNTT includes the 1/n).
+
+    in_scale a: transforms x[j] * a^j (coset/phase-coset evaluation)
+    out_scale s: scales output k by s^k (coset-inverse recovery)
+    — both folded into the precomputed constants at ZERO runtime cost:
+    with j = n1 + C*n2 and k = k1 + R*k2, a^j = a^n1 * (a^C)^n2 and
+    s^k = s^k1 * (s^R)^k2 land on the twiddle table's rows/columns and
+    the inner/outer DFT matrices' columns/rows respectively."""
     n = 1 << log_n
     if radix is None:
         radix = 1 << (log_n - log_n // 2)
+    c = n // radix
+    in_scale %= R_MOD
+    out_scale %= R_MOD
     run = _jitted_mxu(log_n, radix, inverse, batch=x.shape[0])
-    return run(x, _dft_matrix(radix, log_n, 0, inverse),
-               _dft_matrix(n // radix, log_n, 1, inverse),
-               _twiddle_table(log_n, radix, inverse))
+    return run(x,
+               _dft_matrix(radix, log_n, 0, inverse,
+                           col_scale=pow(in_scale, c, R_MOD)),
+               _dft_matrix(c, log_n, 1, inverse,
+                           row_scale=pow(out_scale, radix, R_MOD)),
+               _twiddle_table(log_n, radix, inverse,
+                              row_scale=in_scale, col_scale=out_scale))

@@ -607,12 +607,15 @@ def prove_device(composer, pk, srs, label=None, dpk: DevicePK = None,
         def phase_ntt_many(polys, i, n_phases=4):
             """All of a phase's forward transforms as ONE batched NTT
             (single-device; the mesh path keeps per-poly sharded
-            transforms)."""
-            pows = dpk.phase_pows(i, n_phases=n_phases)
+            transforms).  The phase-coset scale s_i^j is passed to
+            ntt_many, which folds it into the MXU DFT/twiddle constants
+            — no explicit powers multiply or extra HBM pass."""
             if mesh is not None:
+                pows = dpk.phase_pows(i, n_phases=n_phases)
                 return [_ntt(mm(p, pows), log_n) for p in polys]
-            st = mm(jnp.stack(polys), pows[None])
-            return list(nttmod.ntt_many(st, log_n))
+            s = dpk.phase_s[i] if n_phases == 4 else dpk.phase8_s[i]
+            return list(nttmod.ntt_many(jnp.stack(polys), log_n,
+                                        scale=s))
 
         if blinds is None and dpk.cache_phases \
                 and dpk.phase_static is None:
