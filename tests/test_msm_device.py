@@ -108,6 +108,51 @@ print("MSM_SUBPROC_OK")
 """
 
 
+def test_fused_accumulate_matches_per_step():
+    """accumulate_csr (whole-list-walk fused kernel, interpret mode)
+    vs the per-step jnp accumulate — including duplicate entries in one
+    row (unified-add doubling), signs, and pad slots."""
+    from tpu_plonk.curves import pallas_g1
+
+    pts = _points(10)
+    packed = msm_csr.pack_points(pts)               # (11, 3, 24)
+    idx = np.zeros((256, 4), np.int32)
+    idx[0] = [1, -2, 3, 0]
+    idx[1] = [5, 5, -5, 10]                          # dup -> doubling
+    idx[2] = [-7, 7, 0, 0]                           # cancels to identity
+    idx[3] = [4, 0, 0, 6]
+    want = msm_csr._accumulate_impl(packed, jnp.asarray(idx))
+    tbl = jnp.concatenate(
+        [packed[:, 0, :].T, packed[:, 1, :].T], axis=0)
+    ox, oy, oz = pallas_g1.accumulate_csr(tbl, idx, affine=True,
+                                          interpret=True)
+    got = jnp.transpose(jnp.stack([ox, oy, oz]), (2, 0, 1))
+    # the fused path pads the list walk to CB entries; the extra
+    # P + identity complete-adds rescale the projective representative
+    # (X:Y:Z) -> (XY:Y^2:ZY), so compare as normalized affine points
+    assert (msm_csr.sums_to_host(got[:8])
+            == msm_csr.sums_to_host(want[:8]))
+
+
+def test_fused_window_sums_match_jnp():
+    """Full fused pipeline (both CSR passes + weighted scan) vs the
+    per-step jnp pipeline on a small MSM."""
+    n, c = 40, 5
+    pts = _points(n)
+    scalars = [rng.randrange(2**30) for _ in range(n - 2)] + [0, 7]
+    packed = msm_csr.pack_points(pts)
+    l1, l2 = msm_csr.scalars_to_csr(scalars, c, n_windows=7)
+    ref = msm_csr.window_sums(packed, l1, l2, c,
+                              use_pallas=False, use_fused=False)
+    got = msm_csr.window_sums_fused(packed, jnp.asarray(l1), l2, c,
+                                    interpret=True)
+    # affine comparison (see test above for why representatives differ)
+    want_pt = msm_csr.fold_windows_host(msm_csr.sums_to_host(ref), c)
+    got_pt = msm_csr.fold_windows_host(msm_csr.sums_to_host(got), c)
+    assert got_pt == want_pt
+    assert got_pt == hostmsm.msm(pts, scalars)
+
+
 def test_msm_device_matches_host_subprocess():
     """Full CSR MSM pipeline vs the host Pippenger oracle — includes
     the duplicate-digit (maximal bucket skew) case.

@@ -35,7 +35,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..params import P_MOD
+from ..params import P_MOD, FP_MONT_R
 from ..fields import limbs as limbsmod
 from ..fields import device as dev
 from ..fields import pallas_redc as redc
@@ -105,16 +105,16 @@ def _sub(a, b):
 
 
 def _mod_row(a):
-    w = a.shape[-1] // TILE
     m = _consts["mod"]
+    w = a.shape[-1] // m.shape[-1]
     if w == 1:
         return m
     return jnp.concatenate([m] * w, axis=-1)
 
 
 def _ninv_row(a):
-    w = a.shape[-1] // TILE
     m = _consts["ninv"]
+    w = a.shape[-1] // m.shape[-1]
     if w == 1:
         return m
     return jnp.concatenate([m] * w, axis=-1)
@@ -290,6 +290,166 @@ def add_t(p, q, sign=None, interpret=False):
     if pad:
         rx, ry, rz = rx[:, :n], ry[:, :n], rz[:, :n]
     return rx, ry, rz
+
+
+# ---------------------------------------------------------------------------
+# Fused CSR accumulate: the ENTIRE per-row list walk in one kernel.
+#
+# The per-step accumulate path (_accumulate_pl in pcs/msm_csr.py) pays,
+# per list step, one XLA gather + one transpose + one kernel launch, and
+# the (L, R) accumulator makes a full HBM round trip between steps —
+# ~2 KB of HBM traffic per list slot for 12 Montgomery multiplies of
+# work.  Here the whole list walk runs as ONE pallas_call: the points
+# are pre-gathered once into a (chunk, coords, R) tensor, the grid is
+# (row_tiles, chunk_blocks) with the chunk dimension minormost, and the
+# accumulator lives in the revisited output block — it stays in VMEM
+# across all chunk steps of a row tile and is written back to HBM once.
+# An in-kernel fori_loop walks CB list entries per grid step, so the
+# trace holds exactly one point-add instance.  Bit-identical to the
+# per-step path (same _rcb_add algebra; asserted in tests).
+#
+# Affine mode: the gathered table holds only (x, y) rows of AFFINE
+# points (z = R implied, row 0 = (0, R) so that pad entries synthesize
+# the identity (0 : R : 0)); z is reconstructed in-kernel from the
+# entry validity, cutting the gather traffic by a third.  Used for
+# pass 1, whose table (the SRS) is affine by construction.
+# ---------------------------------------------------------------------------
+
+#: list entries consumed per grid step (sublane depth of the gathered
+#: block); larger CB amortizes per-grid-step overhead, VMEM block is
+#: coords*CB*TILE*4 bytes (double-buffered).
+CB = int(_os.environ.get("TPU_PLONK_MSM_CB", "16"))
+
+_ONE = limbsmod.int_to_limbs(FP_MONT_R % P_MOD, L)
+
+
+def _acc_kernel_factory(n_coords: int, affine: bool):
+    def kernel(mod_ref, ninv_ref, one_ref, *refs):
+        _consts["mod"] = mod_ref[:]
+        _consts["ninv"] = ninv_ref[:]
+        if MXU:
+            ninv_mat_ref, mod_mat_ref, gref, iref, ox, oy, oz = refs
+            _consts["ninv_mat"] = ninv_mat_ref[:]
+            _consts["mod_mat"] = mod_mat_ref[:]
+        else:
+            gref, iref, ox, oy, oz = refs
+        m = pl.program_id(1)
+
+        @pl.when(m == 0)
+        def _():
+            ox[:] = jnp.zeros_like(ox)
+            oy[:] = one_ref[:]
+            oz[:] = jnp.zeros_like(oz)
+
+        one_v = one_ref[:]
+
+        def body(j, acc):
+            ax, ay, az = acc
+            g = gref[:, pl.ds(j, 1), :].reshape(n_coords * L, -1)
+            e = iref[pl.ds(j, 1), :]               # (1, TILE) int32
+            gx = g[:L]
+            gy = g[L:2 * L]
+            ngy = _sub_mod(jnp.zeros_like(gy), gy)
+            gy = jnp.where(e < 0, ngy, gy)
+            if affine:
+                gz = jnp.where(e != 0, one_v, jnp.zeros_like(one_v))
+            else:
+                gz = g[2 * L:]
+            return _rcb_add(ax, ay, az, gx, gy, gz)
+
+        ax, ay, az = jax.lax.fori_loop(
+            0, iref.shape[0], body, (ox[:], oy[:], oz[:]))
+        ox[:] = ax
+        oy[:] = ay
+        oz[:] = az
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("affine", "interpret"))
+def _accumulate_csr_jit(table_t, idx, affine: bool, interpret=False):
+    R, chunk = idx.shape
+    chunkp = -(-chunk // CB) * CB
+    if chunkp != chunk:
+        idx = jnp.concatenate(
+            [idx, jnp.zeros((R, chunkp - chunk), idx.dtype)], axis=1)
+    n_coords = table_t.shape[0] // L
+    rows = jnp.abs(idx).T                           # (chunkp, R)
+    g = jnp.take(table_t, rows, axis=1)             # (nC*L, chunkp, R)
+    idx_t = idx.T
+    grid = (R // TILE, chunkp // CB)
+    cspec = pl.BlockSpec((L, TILE), lambda i, m: (0, 0),
+                         memory_space=pltpu.VMEM)
+    gspec = pl.BlockSpec((n_coords * L, CB, TILE), lambda i, m: (0, m, i),
+                         memory_space=pltpu.VMEM)
+    ispec = pl.BlockSpec((CB, TILE), lambda i, m: (m, i),
+                         memory_space=pltpu.VMEM)
+    ospec = pl.BlockSpec((L, TILE), lambda i, m: (0, i),
+                         memory_space=pltpu.VMEM)
+    out_shape = tuple(jax.ShapeDtypeStruct((L, R), jnp.uint32)
+                      for _ in range(3))
+    mod_in = jnp.broadcast_to(
+        jnp.asarray(_MOD, jnp.uint32)[:, None], (L, TILE))
+    ninv_in = jnp.broadcast_to(
+        jnp.asarray(_NEG_INV, jnp.uint32)[:, None], (L, TILE))
+    one_in = jnp.broadcast_to(
+        jnp.asarray(_ONE, jnp.uint32)[:, None], (L, TILE))
+    extra_in, extra_specs = [], []
+    if MXU:
+        for mat in (redc.toeplitz_split(dev.FP.neg_inv, L, L),
+                    redc.toeplitz_split(P_MOD, L, 2 * L)):
+            extra_in.append(jnp.asarray(mat))
+            extra_specs.append(pl.BlockSpec(
+                mat.shape, lambda i, m: (0, 0), memory_space=pltpu.VMEM))
+    return pl.pallas_call(
+        _acc_kernel_factory(n_coords, affine),
+        grid=grid,
+        in_specs=[cspec, cspec, cspec] + extra_specs + [gspec, ispec],
+        out_specs=(ospec, ospec, ospec),
+        out_shape=out_shape,
+        interpret=interpret,
+    )(mod_in, ninv_in, one_in, *extra_in, g, idx_t)
+
+
+def accumulate_csr(table_t, idx, affine: bool, interpret=False,
+                   seg_mb=None):
+    """Chunked-CSR list accumulate, fused: table_t is the TRANSPOSED
+    point table — (2L, P) x‖y limb rows of affine points when `affine`
+    (row 0 must be (0, one_mont): the pad/identity target), or (3L, P)
+    projective rows otherwise.  idx (R, M) holds signed 1-based table
+    indices (0 = pad).  Returns per-row sums as three (L, R) arrays.
+
+    The gathered tensor costs n_coords*L*4 bytes per list slot in HBM;
+    rows are processed in segments bounded by TPU_PLONK_MSM_SEG_MB
+    (default 2048) so 2^20+ MSMs never materialize a >2 GB gather."""
+    R0, chunk = idx.shape
+    idx = jnp.asarray(idx)
+    R = -(-R0 // TILE) * TILE
+    if R != R0:
+        idx = jnp.concatenate(
+            [idx, jnp.zeros((R - R0, chunk), idx.dtype)], axis=0)
+    if seg_mb is None:
+        seg_mb = int(_os.environ.get("TPU_PLONK_MSM_SEG_MB", "2048"))
+    n_coords = table_t.shape[0] // L
+    chunkp = -(-chunk // CB) * CB
+    bytes_per_row = chunkp * (n_coords * L + 1) * 4
+    seg_rows = max(TILE,
+                   (seg_mb * (1 << 20) // bytes_per_row) // TILE * TILE)
+    if R <= seg_rows:
+        ox, oy, oz = _accumulate_csr_jit(table_t, idx, affine, interpret)
+        return ox[:, :R0], oy[:, :R0], oz[:, :R0]
+    n_seg = -(-R // seg_rows)
+    seg = -(-R // n_seg // TILE) * TILE
+    if n_seg * seg != R:
+        idx = jnp.concatenate(
+            [idx, jnp.zeros((n_seg * seg - R, chunk), idx.dtype)], axis=0)
+    outs = [_accumulate_csr_jit(table_t, idx[s * seg:(s + 1) * seg],
+                                affine, interpret)
+            for s in range(n_seg)]
+    ox = jnp.concatenate([o[0] for o in outs], axis=1)
+    oy = jnp.concatenate([o[1] for o in outs], axis=1)
+    oz = jnp.concatenate([o[2] for o in outs], axis=1)
+    return ox[:, :R0], oy[:, :R0], oz[:, :R0]
 
 
 def add(p, q, interpret=False):

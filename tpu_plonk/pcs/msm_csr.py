@@ -23,6 +23,7 @@ Reference analog: dusk-plonk's serial Pippenger under KZG commit
 """
 
 import functools
+import os as _os
 
 import numpy as np
 import jax
@@ -328,12 +329,50 @@ def window_sums_impl(points_packed, l1, l2, c: int):
     return _weighted_window_sums_impl(buckets.reshape(W, B, 3, 24), c)
 
 
-def window_sums(points_packed, l1, l2, c: int, use_pallas=None):
+def window_sums_fused(points_packed, l1, l2, c: int, interpret=False):
+    """window_sums via the fused CSR-accumulate kernel
+    (curves/pallas_g1.accumulate_csr): the whole list walk of each pass
+    runs as ONE pallas_call with the accumulator VMEM-resident across
+    chunk steps, instead of one gather + transpose + kernel launch per
+    list step.  Pass 1 gathers only (x, y) — the SRS table is affine by
+    construction (pack_points sets z = R on every non-identity row) —
+    and synthesizes z in-kernel.  Bit-identical to the per-step paths
+    (tests/test_msm_device.py)."""
+    from ..curves import pallas_g1 as plg
+    tbl = jnp.concatenate(
+        [points_packed[:, 0, :].T, points_packed[:, 1, :].T], axis=0)
+    rx, ry, rz = plg.accumulate_csr(tbl, l1, affine=True,
+                                    interpret=interpret)
+    ix, iy, iz = dg1.identity(())
+    tbl2 = jnp.concatenate([
+        jnp.concatenate([ix[:, None], rx], axis=1),
+        jnp.concatenate([iy[:, None], ry], axis=1),
+        jnp.concatenate([iz[:, None], rz], axis=1)], axis=0)
+    W, B, M2 = l2.shape
+    bx, by, bz = plg.accumulate_csr(tbl2, jnp.asarray(l2).reshape(W * B, M2),
+                                    affine=False, interpret=interpret)
+    buckets = jnp.transpose(jnp.stack([bx, by, bz]),
+                            (2, 0, 1)).reshape(W, B, 3, 24)
+    if interpret or jax.default_backend() in ("cpu",):
+        return _weighted_window_sums(buckets, c)
+    return _weighted_window_sums_pl(buckets, c)
+
+
+def window_sums(points_packed, l1, l2, c: int, use_pallas=None,
+                use_fused=None):
     """Single-chip pipeline (jitted stages; see window_sums_impl).
     On a real TPU the accumulate passes run through the fused Pallas
     point-add kernel (curves/pallas_g1) — one kernel per list step with
     every Fp intermediate in VMEM; the jnp path remains for CPU meshes
-    and shard_map tracing and is bit-identical (asserted in tests)."""
+    and shard_map tracing and is bit-identical (asserted in tests).
+    TPU_PLONK_MSM_FUSED=1 routes through window_sums_fused (the whole
+    list walk in one kernel) instead."""
+    if use_fused is None:
+        use_fused = (_os.environ.get("TPU_PLONK_MSM_FUSED", "0")
+                     not in ("", "0")
+                     and jax.default_backend() not in ("cpu",))
+    if use_fused:
+        return window_sums_fused(points_packed, jnp.asarray(l1), l2, c)
     if use_pallas is None:
         use_pallas = jax.default_backend() not in ("cpu",)
     if use_pallas:
