@@ -40,3 +40,16 @@ def test_device_blinded_matches_host():
     plain_dev = prove_device(cs, pk, srs)
     assert plain_dev.to_bytes() == plain_host.to_bytes()
     assert plain_dev.to_bytes() != got.to_bytes()
+
+    # cached-static reuse: a second blinded prove on the SAME DevicePK
+    # hits the phase8_static selector/sigma cache and must stay
+    # byte-identical; the 4-phase cache coexists on the same dpk
+    from tpu_plonk.proof_system.engine_device import DevicePK
+    dpk = DevicePK(pk)
+    first = prove_device(cs, pk, srs, dpk=dpk, blinding_seed=b"dev-zk")
+    assert dpk.phase8_static is not None
+    second = prove_device(cs, pk, srs, dpk=dpk, blinding_seed=b"dev-zk")
+    assert first.to_bytes() == want.to_bytes()
+    assert second.to_bytes() == want.to_bytes()
+    assert (prove_device(cs, pk, srs, dpk=dpk).to_bytes()
+            == plain_host.to_bytes())

@@ -317,6 +317,9 @@ class DevicePK:
         # --- 8-phase tables (ZK variant: deg(t) = 4n+6 needs the 8n
         # coset; built lazily on first blinded prove) ---
         self.phase8_built = False
+        # 8-phase static cache doubles the 4-phase footprint
+        # (~7.7 KB/row), so it gets a lower size gate
+        self.cache_phases8 = n <= (1 << 19)
         self.phase8_static = None
 
     def build_phase8(self):
@@ -617,19 +620,25 @@ def prove_device(composer, pk, srs, label=None, dpk: DevicePK = None,
             return list(nttmod.ntt_many(jnp.stack(polys), log_n,
                                         scale=s))
 
-        if blinds is None and dpk.cache_phases \
-                and dpk.phase_static is None:
-            static = [dpk.sel_coeffs[k] for k in SELECTOR_NAMES] \
-                + list(dpk.sigma_coeffs)
-            dpk.phase_static = []
-            for i in range(4):
-                out = phase_ntt_many(static, i)
-                dpk.phase_static.append(
-                    (dict(zip(SELECTOR_NAMES, out[:len(SELECTOR_NAMES)])),
-                     out[len(SELECTOR_NAMES):]))
         n_phases = 4 if blinds is None else 8
         if blinds is not None:
             dpk.build_phase8()
+        # selector/sigma phase NTTs are circuit-static: cache them on
+        # first prove (per-variant — the 4-phase and 8-phase cosets are
+        # disjoint), subject to the footprint gates set in __init__
+        static_polys = [dpk.sel_coeffs[k] for k in SELECTOR_NAMES] \
+            + list(dpk.sigma_coeffs)
+        n_sel = len(SELECTOR_NAMES)
+        cache_attr = "phase_static" if blinds is None else "phase8_static"
+        cache_ok = dpk.cache_phases if blinds is None else dpk.cache_phases8
+        if cache_ok and getattr(dpk, cache_attr) is None:
+            tables = []
+            for i in range(n_phases):
+                out = phase_ntt_many(static_polys, i, n_phases)
+                tables.append((dict(zip(SELECTOR_NAMES, out[:n_sel])),
+                               out[n_sel:]))
+            setattr(dpk, cache_attr, tables)
+        static_tables = getattr(dpk, cache_attr)
         phase_u = None if blinds is None else dpk.phase8_u
         zh_inv_ph = dpk.zh_inv_phase if blinds is None \
             else dpk.zh_inv_phase8
@@ -639,15 +648,13 @@ def prove_device(composer, pk, srs, label=None, dpk: DevicePK = None,
         t_phase = []
         for i in range(n_phases):
             dyn = [wire_coeffs[w] for w in "abcd"] + [z_coeffs, pi_coeffs]
-            if blinds is None and dpk.phase_static is not None:
-                out = phase_ntt_many(dyn, i)
-                sel_ph, sigma_ph = dpk.phase_static[i]
+            if static_tables is not None:
+                out = phase_ntt_many(dyn, i, n_phases)
+                sel_ph, sigma_ph = static_tables[i]
             else:
-                out = phase_ntt_many(
-                    dyn + [dpk.sel_coeffs[k] for k in SELECTOR_NAMES]
-                    + list(dpk.sigma_coeffs), i, n_phases)
-                sel_ph = dict(zip(SELECTOR_NAMES, out[6:6 + 11]))
-                sigma_ph = out[6 + 11:]
+                out = phase_ntt_many(dyn + static_polys, i, n_phases)
+                sel_ph = dict(zip(SELECTOR_NAMES, out[6:6 + n_sel]))
+                sigma_ph = out[6 + n_sel:]
             wire_ph = dict(zip("abcd", out[:4]))
             z_ph, pi_ph = out[4], out[5]
             xpts, l1_vec = dpk.phase_xpts_l1(i, n_phases)
