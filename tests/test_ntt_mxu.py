@@ -163,3 +163,26 @@ def test_ntt_many_scale_small_route():
     back = _from_dev(nttmod.ntt_many(_to_dev(want)[None], log_n,
                                      inverse=True, scale=sinv)[0])
     assert back == coeffs
+
+
+def test_fused_digit_pipeline_matches_jnp():
+    """The fused Pallas digit pipeline (ntt_mxu_pl, interpret mode on
+    CPU) vs the jnp renorm/REDC path: full transforms bit-identical,
+    including a scale-folded case and the inverse direction."""
+    log_n, radix = 8, 16
+    n = 1 << log_n
+    coeffs = [rng.randrange(R_MOD) for _ in range(n)]
+    x = jnp.asarray(limbs.fr_to_limbs(
+        [c * FR_MONT_R % R_MOD for c in coeffs]))[None]
+    for inverse in (False, True):
+        for scale in (1, 7):
+            kw = ({"out_scale": scale} if inverse
+                  else {"in_scale": scale})
+            ref = ntt_mxu.ntt_mxu_batched(x, log_n, radix,
+                                          inverse=inverse,
+                                          use_pl=False, **kw)
+            got = ntt_mxu.ntt_mxu_batched(x, log_n, radix,
+                                          inverse=inverse,
+                                          use_pl=True, **kw)
+            assert np.array_equal(np.asarray(got), np.asarray(ref)), \
+                (inverse, scale)

@@ -78,8 +78,8 @@ def _redc_mats():
 @functools.lru_cache(maxsize=None)
 def _dft_matrix(radix: int, log_n: int, level: int,
                 inverse: bool = False, col_scale: int = 1,
-                row_scale: int = 1):
-    """W2 for one four-step level, int8 (radix*DC, radix*DX).
+                row_scale: int = 1, dx: int = DX, dc: int = DC):
+    """W2 for one four-step level, int8 (radix*dc, radix*dx).
 
     W[k,j] = w_R^(+-kj) * 2^273  (Montgomery-compensated; the 2^273
     cancels this level's REDC' division).  The inverse transform's
@@ -89,7 +89,11 @@ def _dft_matrix(radix: int, log_n: int, level: int,
     constants — W[k,j] *= col_scale^j * row_scale^k — which is how
     coset/phase-coset transforms avoid a separate full-array Montgomery
     multiply (the scale a^j of x[j], j = n1 + C*n2, separates into
-    (a^C)^n2 on this matrix's columns plus a^n1 on the twiddle table)."""
+    (a^C)^n2 on this matrix's columns plus a^n1 on the twiddle table).
+
+    dx/dc widen the per-element digit strides (extra positions are zero
+    rows/columns — exact) so the fused-kernel path can use 8-aligned
+    blocks (ntt_mxu_pl.py)."""
     n = 1 << log_n
     dom = Domain(radix)
     omega = dom.omega_inv if inverse else dom.omega
@@ -97,7 +101,7 @@ def _dft_matrix(radix: int, log_n: int, level: int,
     if inverse and level == 1:
         comp = comp * pow(n, -1, R_MOD) % R_MOD
     # W[k, j] canonical, pre-multiplied by the REDC' compensation
-    w2 = np.zeros((radix * DC, radix * DX), dtype=np.int8)
+    w2 = np.zeros((radix * dc, radix * dx), dtype=np.int8)
     wd = np.zeros((radix, radix, 37), dtype=np.int8)
     pw = [pow(omega, k, R_MOD) for k in range(radix)]
     cpw = [pow(col_scale, j, R_MOD) for j in range(radix)]
@@ -108,11 +112,10 @@ def _dft_matrix(radix: int, log_n: int, level: int,
             val = val * cpw[j] % R_MOD * rpw[k] % R_MOD
             wd[k, j] = _int_digits(val, 37)
     for b in range(DX):
-        cs = slice(b, b + 37)
-        # W2[k*DC + (b..b+37), j*DX + b] = wd[k, j, :]
+        # W2[k*dc + (b..b+37), j*dx + b] = wd[k, j, :]
         for k in range(radix):
-            w2[k * DC + b: k * DC + b + 37,
-               np.arange(radix) * DX + b] = wd[k].T
+            w2[k * dc + b: k * dc + b + 37,
+               np.arange(radix) * dx + b] = wd[k].T
     return jnp.asarray(w2)
 
 
@@ -267,18 +270,42 @@ def dft_level(x_digits, w2, radix: int):
 # ---------------------------------------------------------------------------
 
 
+#: opt-in: fuse each DFT level's digit pipeline (renorm -> REDC' ->
+#: renorm) into one Pallas kernel (ntt_mxu_pl.py) — as XLA ops the
+#: chain makes ~15 HBM passes over the matmul columns per level.
+#: Read at call time in ntt_mxu_batched; bit-exact either way.
+import os as _os
+NTT_PALLAS = _os.environ.get("TPU_PLONK_NTT_PALLAS", "0") not in ("", "0")
+
+
 @functools.lru_cache(maxsize=None)
 def _jitted_mxu(log_n: int, radix: int, inverse: bool = False,
-                batch: int = 1):
+                batch: int = 1, use_pl: bool = False):
     """With batch B > 1, transforms B independent size-n vectors in one
     program — the batch widens the matmul column dimension (ncols =
     B*C / B*R), which the MXU eats for free.  This is what makes the
     3-level composition in poly/ntt.ntt_4step work at 2^20+: sub-size
     2^10-2^11 keeps each W2 at a few MB instead of the quadratic 3-12
-    GB a single 2-level decomposition would need."""
+    GB a single 2-level decomposition would need.
+
+    use_pl routes each level through the fused digit-pipeline kernel
+    (padded digit stride DXP; the extra positions hold zeros)."""
     n = 1 << log_n
     c = n // radix
     B = batch
+    if use_pl:
+        from . import ntt_mxu_pl
+        dxw = ntt_mxu_pl.DXP
+        _level = ntt_mxu_pl.dft_level_pl
+    else:
+        dxw = DX
+        _level = dft_level
+
+    def pad_dx(d):
+        if dxw == DX:
+            return d
+        return jnp.concatenate(
+            [d, jnp.zeros(d.shape[:-1] + (dxw - DX,), d.dtype)], axis=-1)
 
     # constants passed as runtime arguments, NOT closed-over trace
     # constants: a trace-embedded 50-750MB W2 blows past the remote
@@ -286,22 +313,22 @@ def _jitted_mxu(log_n: int, radix: int, inverse: bool = False,
     @jax.jit
     def run(x, w2_inner, w2_outer, tw):
         # x: (B, n, 16) u16 Montgomery limbs, A_b[n2][n1] = x_b[n1+C*n2]
-        a = limbs_to_digits(x.reshape(B * n, 16))
-        a = a.reshape(B, radix, c, DX)
-        a = jnp.transpose(a, (1, 0, 2, 3)).reshape(radix, B * c, DX)
-        b = dft_level(a, w2_inner, radix)                # DFT_R over rows
+        a = pad_dx(limbs_to_digits(x.reshape(B * n, 16)))
+        a = a.reshape(B, radix, c, dxw)
+        a = jnp.transpose(a, (1, 0, 2, 3)).reshape(radix, B * c, dxw)
+        b = _level(a, w2_inner, radix)               # DFT_R over rows
         # twiddle boundary: digits -> limbs, mont-mul, -> digits
-        b_limbs = digits_to_limbs(b.reshape(radix * B * c, DX))
+        b_limbs = digits_to_limbs(b.reshape(radix * B * c, dxw))
         b_limbs = b_limbs.reshape(radix, B, c, 16)
         tw_t = jnp.transpose(tw, (1, 0, 2))              # (R, C, 16)
         b_limbs = dev.mont_mul(b_limbs, tw_t[:, None], dev.FR)
-        bt = limbs_to_digits(b_limbs.reshape(radix * B * c, 16))
-        bt = bt.reshape(radix, B, c, DX)
-        bt = jnp.transpose(bt, (2, 1, 0, 3)).reshape(c, B * radix, DX)
-        xo = dft_level(bt, w2_outer, c)                  # DFT_C
-        xo = xo.reshape(c, B, radix, DX)
-        xo = jnp.transpose(xo, (1, 0, 2, 3))             # (B, C, R, DX)
-        out = digits_to_limbs(xo.reshape(B * n, DX))
+        bt = pad_dx(limbs_to_digits(b_limbs.reshape(radix * B * c, 16)))
+        bt = bt.reshape(radix, B, c, dxw)
+        bt = jnp.transpose(bt, (2, 1, 0, 3)).reshape(c, B * radix, dxw)
+        xo = _level(bt, w2_outer, c)                 # DFT_C
+        xo = xo.reshape(c, B, radix, dxw)
+        xo = jnp.transpose(xo, (1, 0, 2, 3))             # (B, C, R, dxw)
+        out = digits_to_limbs(xo.reshape(B * n, dxw))
         # canonicalize: lazily-reduced (< 2^256) -> [0, q)
         out = dev.sub_mod(out, jnp.zeros_like(out), dev.FR)
         return _canonical(out).reshape(B, n, 16)
@@ -330,7 +357,7 @@ def ntt_mxu(x, log_n: int, radix: int = None, inverse: bool = False,
 
 def ntt_mxu_batched(x, log_n: int, radix: int = None,
                     inverse: bool = False, in_scale: int = 1,
-                    out_scale: int = 1):
+                    out_scale: int = 1, use_pl: bool = None):
     """Batched (i)NTT: x (B, n, 16) -> (B, n, 16), each row transformed
     independently (natural order both ways; iNTT includes the 1/n).
 
@@ -346,11 +373,21 @@ def ntt_mxu_batched(x, log_n: int, radix: int = None,
     c = n // radix
     in_scale %= R_MOD
     out_scale %= R_MOD
-    run = _jitted_mxu(log_n, radix, inverse, batch=x.shape[0])
+    if use_pl is None:
+        use_pl = NTT_PALLAS
+    if use_pl:
+        from .ntt_mxu_pl import DXP, DCP
+        dxw, dcw = DXP, DCP
+    else:
+        dxw, dcw = DX, DC
+    run = _jitted_mxu(log_n, radix, inverse, batch=x.shape[0],
+                      use_pl=use_pl)
     return run(x,
                _dft_matrix(radix, log_n, 0, inverse,
-                           col_scale=pow(in_scale, c, R_MOD)),
+                           col_scale=pow(in_scale, c, R_MOD),
+                           dx=dxw, dc=dcw),
                _dft_matrix(c, log_n, 1, inverse,
-                           row_scale=pow(out_scale, radix, R_MOD)),
+                           row_scale=pow(out_scale, radix, R_MOD),
+                           dx=dxw, dc=dcw),
                _twiddle_table(log_n, radix, inverse,
                               row_scale=in_scale, col_scale=out_scale))
