@@ -80,3 +80,82 @@ def verify_gadget(cs: Composer, pk: PointVar, signature, message: int):
     rhs = cs.point_addition_gate(r_var, c_pk)
     cs.assert_equal_point(lhs, rhs)
     return lhs
+
+
+# ---------------------------------------------------------------------------
+# Double-key variant (dusk-schnorr's `SignatureDouble` analog: one
+# nonce/response proves knowledge of sk under BOTH fixed bases G and
+# G_NUMS — used for keys published as (sk*G, sk*G_NUMS) pairs).
+# ---------------------------------------------------------------------------
+
+
+def keygen_double(sk: int):
+    sk %= JUBJUB_ORDER
+    return (sk, jubjub.mul(jubjub.GENERATOR, sk),
+            jubjub.mul(jubjub.GENERATOR_NUMS, sk))
+
+
+def _challenge_double(R, Rp, pk, pk2, message: int) -> int:
+    return poseidon.sponge_hash(
+        [R[0], R[1], Rp[0], Rp[1], pk[0], pk[1], pk2[0], pk2[1],
+         message % R_MOD]) % JUBJUB_ORDER
+
+
+def sign_double(sk: int, message: int):
+    """Single response over both bases:
+      R = r*G, R' = r*G_NUMS, c = H(R, R', pk, pk', m),
+      s = r + c*sk;  signature = (R, R', s)."""
+    sk %= JUBJUB_ORDER
+    r = poseidon.sponge_hash([sk, message % R_MOD, 2]) % JUBJUB_ORDER
+    if r == 0:
+        r = 1
+    R = jubjub.mul(jubjub.GENERATOR, r)
+    Rp = jubjub.mul(jubjub.GENERATOR_NUMS, r)
+    pk = jubjub.mul(jubjub.GENERATOR, sk)
+    pk2 = jubjub.mul(jubjub.GENERATOR_NUMS, sk)
+    c = _challenge_double(R, Rp, pk, pk2, message)
+    s = (r + c * sk) % JUBJUB_ORDER
+    return (R, Rp, s)
+
+
+def verify_double(pk, pk2, message: int, signature) -> bool:
+    """s*G == R + c*pk  AND  s*G_NUMS == R' + c*pk2: the shared s ties
+    the discrete logs of pk (base G) and pk2 (base G_NUMS) together."""
+    R, Rp, s = signature
+    if not all(jubjub.is_on_curve(p) for p in (R, Rp, pk, pk2)):
+        return False
+    c = _challenge_double(R, Rp, pk, pk2, message)
+    if jubjub.mul(jubjub.GENERATOR, s) != jubjub.add(
+            R, jubjub.mul(pk, c)):
+        return False
+    return jubjub.mul(jubjub.GENERATOR_NUMS, s) == jubjub.add(
+        Rp, jubjub.mul(pk2, c))
+
+
+def verify_double_gadget(cs: Composer, pk: PointVar, pk2: PointVar,
+                         signature, message: int):
+    """In-circuit double-key verification: one challenge decomposition
+    shared by both group equations (the expensive parts are the two
+    fixed-base and two variable-base ladders)."""
+    R, Rp, s = signature
+    r_var = PointVar(cs.add_input(R[0]), cs.add_input(R[1]), R)
+    rp_var = PointVar(cs.add_input(Rp[0]), cs.add_input(Rp[1]), Rp)
+    s_var = cs.add_input(s)
+    m_var = cs.add_input(message % R_MOD)
+    cs.constrain_to_constant(m_var, 0, (-(message % R_MOD)) % R_MOD)
+
+    c_var = poseidon.sponge_gadget(
+        cs, [r_var.x, r_var.y, rp_var.x, rp_var.y,
+             pk.x, pk.y, pk2.x, pk2.y, m_var])
+    c_bits = cs.canonical_bit_decompose(c_var)
+
+    lhs = cs.fixed_base_scalar_mul(s_var, jubjub.GENERATOR)
+    rhs = cs.point_addition_gate(
+        r_var, cs.variable_base_scalar_mul_bits(c_bits, pk))
+    cs.assert_equal_point(lhs, rhs)
+
+    lhs2 = cs.fixed_base_scalar_mul(s_var, jubjub.GENERATOR_NUMS)
+    rhs2 = cs.point_addition_gate(
+        rp_var, cs.variable_base_scalar_mul_bits(c_bits, pk2))
+    cs.assert_equal_point(lhs2, rhs2)
+    return lhs, lhs2
