@@ -138,3 +138,48 @@ def test_prover_verifier_wrappers():
     v = Verifier(label=b"wrapper test")
     build(v.composer, 21)  # verifier rebuilds structure w/ same PI
     assert v.verify(proof, p.composer.pi, srs)
+
+
+def test_batch_verify():
+    """verify_batch: one 2-pairing check for several proofs (mixed
+    circuits/vks and a blinded proof), with tamper/PI-swap rejection."""
+    from tpu_plonk.proof_system.verifier import verify_batch
+
+    def circ_a():
+        cs = Composer()
+        a = cs.add_input(3)
+        b = cs.add_input(5)
+        c = cs.mul(1, a, b, 0)
+        cs.constrain_to_constant(c, 15)
+        return cs
+
+    def circ_b():
+        cs = Composer()
+        x = cs.add_input(777)
+        cs.constrain_to_constant(x, 0, pi=(-777) % R_MOD)
+        cs.range_gate(cs.add_input(9), 8)
+        return cs
+
+    items = []
+    for build, seed in ((circ_a, None), (circ_b, None),
+                        (circ_a, b"zk")):
+        cs = build()
+        assert cs.check_satisfied()
+        srs = _srs_for(cs)
+        pk, vk = preprocess(cs, srs)
+        proof = prove(cs, pk, srs, blinding_seed=seed)
+        items.append((proof, vk, cs.pi))
+    srs = srs_mod.cached_setup(max(vk.n for _, vk, _ in items) + 8)
+    assert verify_batch(items, srs, salt=b"fixed-test-salt")
+    assert verify_batch([], srs)
+
+    # tampered proof bytes -> whole batch rejects
+    bad = Proof.from_bytes(items[0][0].to_bytes())
+    bad.evals["a"] = (bad.evals["a"] + 1) % R_MOD
+    assert not verify_batch(
+        [(bad, items[0][1], items[0][2])] + items[1:], srs,
+        salt=b"fixed-test-salt")
+
+    # swapped public inputs -> rejects
+    swapped = [(items[1][0], items[1][1], {0: 1}), items[0], items[2]]
+    assert not verify_batch(swapped, srs, salt=b"fixed-test-salt")

@@ -66,12 +66,18 @@ def open_aggregate(polys, point: int, challenge: int, srs):
     return w
 
 
-def batch_check(points, witnesses, agg_commitments, agg_values, u: int, srs):
+def batch_check(points, witnesses, agg_commitments, agg_values, u: int,
+                srs, defer=False):
     """Verify k aggregated openings (point_i, W_i, C_i, v_i) with one
     2-pairing check, folding the openings by powers of u:
 
       e(sum u^i W_i, [tau]G2) == e(sum u^i (C_i - v_i G1 + point_i W_i), G2)
-    """
+
+    With defer=True, returns the two folded G1 points (lhs, rhs)
+    instead of running the pairings — the cross-proof batch verifier
+    (proof_system/verifier.verify_batch) random-linear-combines many
+    such pairs into ONE 2-pairing check (legal because both G2 sides,
+    [tau]G2 and G2, are fixed across proofs)."""
     # One flat Straus MSM each side:
     #   lhs = sum u^i W_i
     #   rhs = sum u^i C_i + (-sum u^i v_i) G + sum (u^i point_i) W_i
@@ -88,6 +94,8 @@ def batch_check(points, witnesses, agg_commitments, agg_values, u: int, srs):
     rhs_pairs.append((g1.GEN, g_scalar))
     lhs_aff = hostmsm.msm_small(lhs_pairs)
     rhs_aff = hostmsm.msm_small(rhs_pairs)
+    if defer:
+        return lhs_aff, rhs_aff
     return pairing.pairing_check([
         (lhs_aff, srs.g2_tau),
         (g1.neg(rhs_aff) if rhs_aff else None, srs.g2_gen),

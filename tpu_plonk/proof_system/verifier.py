@@ -16,7 +16,7 @@ from .prover import (
 
 
 def verify(proof: Proof, vk, public_inputs: dict, srs,
-           label: bytes = L.PROTOCOL) -> bool:
+           label: bytes = L.PROTOCOL, defer_pairing: bool = False):
     n = vk.n
     dom = Domain(n)
     comm = proof.commitments
@@ -90,7 +90,63 @@ def verify(proof: Proof, vk, public_inputs: dict, srs,
     zw = zeta * dom.omega % R_MOD
     return kzg.batch_check(
         [zeta, zw], [comm["w_z"], comm["w_zw"]],
-        [agg_c1, agg_c2], [agg_v1, agg_v2], u, srs)
+        [agg_c1, agg_c2], [agg_v1, agg_v2], u, srs,
+        defer=defer_pairing)
+
+
+def verify_batch(items, srs, label: bytes = L.PROTOCOL,
+                 salt: bytes = None) -> bool:
+    """Verify many proofs with ONE 2-pairing check (serving-path
+    throughput: the per-proof Miller loop + final exponentiation — the
+    dominant verify cost — is amortized across the batch).
+
+    Each proof reduces (via verify(defer_pairing=True): full transcript
+    replay, linearization MSM, opening fold) to a pair of G1 points
+    (L_p, R_p) whose check is e(L_p, [tau]G2) == e(R_p, G2).  Both G2
+    sides are proof-independent, so a random linear combination
+      e(sum r_p L_p, [tau]G2) * e(-sum r_p R_p, G2) == 1
+    verifies all proofs at once; by Schwartz-Zippel an invalid proof
+    survives with probability ~1/r over the verifier-chosen weights.
+    Weights are derived by hashing a fresh session salt with every
+    proof's bytes, so no prover can anticipate them.
+
+    items: iterable of (proof, vk, public_inputs).  Returns True iff
+    every proof verifies.  NOT a replacement for identifying WHICH
+    proof failed — rerun verify() per proof for that."""
+    import hashlib
+    import secrets
+
+    items = list(items)
+    if not items:
+        return True
+    if salt is None:
+        salt = secrets.token_bytes(32)
+    deferred = []
+    h = hashlib.sha3_256(salt)
+    for proof, vk, pi in items:
+        deferred.append(verify(proof, vk, pi, srs, label,
+                               defer_pairing=True))
+        h.update(proof.to_bytes())
+        for k in sorted(pi):
+            h.update(int(k).to_bytes(8, "little"))
+            h.update((int(pi[k]) % R_MOD).to_bytes(32, "little"))
+    seed = h.digest()
+    lhs_pairs, rhs_pairs = [], []
+    for i, (lhs, rhs) in enumerate(deferred):
+        r_i = 1 if i == 0 else int.from_bytes(
+            hashlib.sha3_256(seed + i.to_bytes(8, "little")).digest(),
+            "little") % R_MOD
+        if lhs is not None:
+            lhs_pairs.append((lhs, r_i))
+        if rhs is not None:
+            rhs_pairs.append((rhs, r_i))
+    from ..curves import pairing
+    lhs_aff = hostmsm.msm_small(lhs_pairs) if lhs_pairs else None
+    rhs_aff = hostmsm.msm_small(rhs_pairs) if rhs_pairs else None
+    return pairing.pairing_check([
+        (lhs_aff, srs.g2_tau),
+        (g1.neg(rhs_aff) if rhs_aff else None, srs.g2_gen),
+    ])
 
 
 def _msm_pairs(pairs):
