@@ -186,3 +186,26 @@ def test_fused_digit_pipeline_matches_jnp():
                                           use_pl=True, **kw)
             assert np.array_equal(np.asarray(got), np.asarray(ref)), \
                 (inverse, scale)
+
+
+def test_fourstep_fused_pipeline(monkeypatch):
+    """ntt_4step with the fused digit pipeline enabled (the 2^20+
+    prover route) vs the jnp path — forward and inverse with folded
+    coset scales, bit-identical."""
+    from tpu_plonk.poly import ntt as nttmod
+    log_n = 8
+    n = 1 << log_n
+    coeffs = [rng.randrange(R_MOD) for _ in range(n)]
+    x = jnp.asarray(limbs.fr_to_limbs(
+        [c * FR_MONT_R % R_MOD for c in coeffs]))
+    g = Domain(n).coset_gen
+    ref_f = nttmod.ntt_4step(x, log_n, in_scale=g)
+    ref_i = nttmod.ntt_4step(ref_f, log_n, inverse=True,
+                             out_scale=pow(g, -1, R_MOD))
+    monkeypatch.setattr(ntt_mxu, "NTT_PALLAS", True)
+    got_f = nttmod.ntt_4step(x, log_n, in_scale=g)
+    got_i = nttmod.ntt_4step(got_f, log_n, inverse=True,
+                             out_scale=pow(g, -1, R_MOD))
+    assert np.array_equal(np.asarray(got_f), np.asarray(ref_f))
+    assert np.array_equal(np.asarray(got_i), np.asarray(ref_i))
+    assert np.array_equal(np.asarray(got_i), np.asarray(x))

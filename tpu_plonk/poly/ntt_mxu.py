@@ -293,19 +293,40 @@ def _jitted_mxu(log_n: int, radix: int, inverse: bool = False,
     n = 1 << log_n
     c = n // radix
     B = batch
-    if use_pl:
-        from . import ntt_mxu_pl
-        dxw = ntt_mxu_pl.DXP
-        _level = ntt_mxu_pl.dft_level_pl
-    else:
-        dxw = DX
-        _level = dft_level
 
-    def pad_dx(d):
-        if dxw == DX:
-            return d
-        return jnp.concatenate(
-            [d, jnp.zeros(d.shape[:-1] + (dxw - DX,), d.dtype)], axis=-1)
+    if use_pl:
+        from . import ntt_mxu_pl as mpl
+        DXP = mpl.DXP
+
+        # Fully transposed digit flow: digits ride the sublane axis of
+        # (rows*DXP, cols) int8 arrays end to end; each level and the
+        # twiddle boundary is one fused kernel.  Index math mirrors the
+        # jnp path below exactly (bit-identity asserted in tests).
+        @jax.jit
+        def run_pl(x, w2_inner, w2_outer, tw):
+            a = limbs_to_digits(x.reshape(B * n, 16))
+            a = jnp.concatenate(
+                [a, jnp.zeros(a.shape[:-1] + (DXP - DX,), a.dtype)],
+                axis=-1)
+            a = a.reshape(B, radix, c, DXP)
+            a = jnp.transpose(a, (1, 3, 0, 2))       # (radix, DXP, B, c)
+            rhs = a.reshape(radix * DXP, B * c)      # cols (b, n1)
+            d1 = mpl.dft_level_pl_t(rhs, w2_inner, radix)
+            twr = jnp.transpose(tw, (1, 2, 0)).reshape(radix * 16, c)
+            d2 = mpl.twiddle_pl(d1, twr, c)
+            # four-step regroup: element (k, b, n1) -> row n1*DXP+d,
+            # col b*radix+k
+            t3 = d2.reshape(radix, DXP, B, c)
+            rhs2 = jnp.transpose(t3, (3, 1, 2, 0)).reshape(
+                c * DXP, B * radix)
+            d3 = mpl.dft_level_pl_t(rhs2, w2_outer, c)
+            xo = jnp.transpose(d3.reshape(c, DXP, B, radix),
+                               (2, 0, 3, 1))         # (B, c, radix, DXP)
+            out = digits_to_limbs(xo.reshape(B * n, DXP))
+            out = dev.sub_mod(out, jnp.zeros_like(out), dev.FR)
+            return _canonical(out).reshape(B, n, 16)
+
+        return run_pl
 
     # constants passed as runtime arguments, NOT closed-over trace
     # constants: a trace-embedded 50-750MB W2 blows past the remote
@@ -313,22 +334,22 @@ def _jitted_mxu(log_n: int, radix: int, inverse: bool = False,
     @jax.jit
     def run(x, w2_inner, w2_outer, tw):
         # x: (B, n, 16) u16 Montgomery limbs, A_b[n2][n1] = x_b[n1+C*n2]
-        a = pad_dx(limbs_to_digits(x.reshape(B * n, 16)))
-        a = a.reshape(B, radix, c, dxw)
-        a = jnp.transpose(a, (1, 0, 2, 3)).reshape(radix, B * c, dxw)
-        b = _level(a, w2_inner, radix)               # DFT_R over rows
+        a = limbs_to_digits(x.reshape(B * n, 16))
+        a = a.reshape(B, radix, c, DX)
+        a = jnp.transpose(a, (1, 0, 2, 3)).reshape(radix, B * c, DX)
+        b = dft_level(a, w2_inner, radix)                # DFT_R over rows
         # twiddle boundary: digits -> limbs, mont-mul, -> digits
-        b_limbs = digits_to_limbs(b.reshape(radix * B * c, dxw))
+        b_limbs = digits_to_limbs(b.reshape(radix * B * c, DX))
         b_limbs = b_limbs.reshape(radix, B, c, 16)
         tw_t = jnp.transpose(tw, (1, 0, 2))              # (R, C, 16)
         b_limbs = dev.mont_mul(b_limbs, tw_t[:, None], dev.FR)
-        bt = pad_dx(limbs_to_digits(b_limbs.reshape(radix * B * c, 16)))
-        bt = bt.reshape(radix, B, c, dxw)
-        bt = jnp.transpose(bt, (2, 1, 0, 3)).reshape(c, B * radix, dxw)
-        xo = _level(bt, w2_outer, c)                 # DFT_C
-        xo = xo.reshape(c, B, radix, dxw)
-        xo = jnp.transpose(xo, (1, 0, 2, 3))             # (B, C, R, dxw)
-        out = digits_to_limbs(xo.reshape(B * n, dxw))
+        bt = limbs_to_digits(b_limbs.reshape(radix * B * c, 16))
+        bt = bt.reshape(radix, B, c, DX)
+        bt = jnp.transpose(bt, (2, 1, 0, 3)).reshape(c, B * radix, DX)
+        xo = dft_level(bt, w2_outer, c)                  # DFT_C
+        xo = xo.reshape(c, B, radix, DX)
+        xo = jnp.transpose(xo, (1, 0, 2, 3))             # (B, C, R, DX)
+        out = digits_to_limbs(xo.reshape(B * n, DX))
         # canonicalize: lazily-reduced (< 2^256) -> [0, q)
         out = dev.sub_mod(out, jnp.zeros_like(out), dev.FR)
         return _canonical(out).reshape(B, n, 16)

@@ -156,6 +156,126 @@ def dft_level_pl(x_digits, w2p, radix: int, interpret=None):
         interpret = jax.default_backend() in ("cpu",)
     ncols = x_digits.shape[1]
     rhs = jnp.transpose(x_digits, (0, 2, 1)).reshape(radix * DXP, ncols)
-    v = _i8mm(w2p, rhs)                      # (radix*DCP, ncols) int32
-    out = _digit_pipeline(v, radix, interpret=interpret)
+    out = dft_level_pl_t(rhs, w2p, radix, interpret=interpret)
     return jnp.transpose(out.reshape(radix, DXP, ncols), (0, 2, 1))
+
+
+def dft_level_pl_t(rhs_t, w2p, radix: int, interpret=None):
+    """Transposed-layout level: rhs_t (radix*DXP, ncols) int8 (digit d
+    of DFT-row k at row k*DXP+d) -> same shape.  The whole digit flow
+    stays in this layout — no per-level transposes."""
+    if interpret is None:
+        interpret = jax.default_backend() in ("cpu",)
+    v = _i8mm(w2p, rhs_t)                    # (radix*DCP, ncols) int32
+    return _digit_pipeline(v, radix, interpret=interpret)
+
+
+# ---------------------------------------------------------------------------
+# Fused twiddle boundary: digits -> limbs -> Montgomery multiply by the
+# per-(k, n1) twiddle -> digits, one kernel.  As XLA ops this boundary
+# is digits_to_limbs + dev.mont_mul (whose variable*variable Comba is a
+# 16-step lax.scan with HBM round-trips) + limbs_to_digits — the most
+# HBM-expensive non-DFT stage of the MXU NTT.  Reuses the in-kernel Fr
+# Montgomery multiply from fields/pallas_fr.py (same split-byte Comba /
+# Kogge-Stone algebra as dev.mont_mul — bit-exact).
+# ---------------------------------------------------------------------------
+
+from ..fields import pallas_fr as _pfr
+
+
+def _tw_kernel_factory(c: int, tile: int):
+    def kernel(mod_ref, ninv_ref, *refs):
+        _pfr._consts["mod"] = mod_ref[:]
+        _pfr._consts["ninv"] = ninv_ref[:]
+        if _pfr.MXU:
+            ninv_mat_ref, mod_mat_ref, tw_ref, d_ref, o_ref = refs
+            _pfr._consts["ninv_mat"] = ninv_mat_ref[:]
+            _pfr._consts["mod_mat"] = mod_mat_ref[:]
+        else:
+            tw_ref, d_ref, o_ref = refs
+        du = d_ref[:].astype(jnp.uint32)         # (DXP, T), values 0..127
+        # digits -> 16 limb rows (mirror of ntt_mxu.digits_to_limbs:
+        # each 16-bit column collects <= 3 shifted 7-bit digits < 2^24,
+        # then one Kogge-Stone carry pass)
+        acc = jnp.zeros((16,) + du.shape[1:], jnp.uint32)
+        for i in range(DXP):
+            lo = D7 * i
+            j, s = lo >> 4, lo & 15
+            if j < 16:
+                acc = acc.at[j:j + 1].add(du[i:i + 1] << s)
+        x = _pfr._carry(acc)
+        tw_tile = tw_ref[:]
+        if tile > c:
+            tw_tile = jnp.concatenate([tw_tile] * (tile // c), axis=1)
+        t = _pfr._mont_mul_cols(x, tw_tile)
+        # limbs -> digits (mirror of ntt_mxu.limbs_to_digits)
+        rows = []
+        for d in range(DXP):
+            lo = D7 * d
+            j, s = lo >> 4, lo & 15
+            if lo >= 256:
+                rows.append(jnp.zeros_like(t[:1]))
+                continue
+            w = t[j:j + 1] >> s
+            if s > 9 and j + 1 < 16:
+                w = w | (t[j + 1:j + 2] << (16 - s))
+            rows.append(w & 0x7F)
+        o_ref[:] = jnp.concatenate(rows, axis=0).astype(jnp.int8)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("c", "interpret"))
+def twiddle_pl(d, twr, c: int, interpret=None):
+    """d (radix*DXP, ncols) int8 digits of lazily-reduced values
+    (< 2^256); twr (radix*16, c) u32 Montgomery twiddle limbs, entry
+    [k*16+limb, n1] for element columns ordered (b, n1) — i.e. the
+    twiddle of column `col` in row-block k is twr[k, col % c].
+    Returns the digit array of value * twiddle * 2^-256 mod q — the
+    exact algebra of the jnp boundary (digits_to_limbs -> dev.mont_mul
+    -> limbs_to_digits), fused."""
+    if interpret is None:
+        interpret = jax.default_backend() in ("cpu",)
+    radix = d.shape[0] // DXP
+    ncols = d.shape[1]
+    ncp = -(-ncols // TILE) * TILE
+    if ncp != ncols:
+        d = jnp.concatenate(
+            [d, jnp.zeros((d.shape[0], ncp - ncols), d.dtype)], axis=1)
+    grid = (radix, ncp // TILE)
+    if c <= TILE:
+        assert TILE % c == 0
+        twspec = pl.BlockSpec((16, c), lambda k, j: (k, 0),
+                              memory_space=pltpu.VMEM)
+    else:
+        assert c % TILE == 0
+        twspec = pl.BlockSpec((16, TILE), lambda k, j: (k, j % (c // TILE)),
+                              memory_space=pltpu.VMEM)
+    cspec = pl.BlockSpec((16, TILE), lambda k, j: (0, 0),
+                         memory_space=pltpu.VMEM)
+    mod_in = jnp.broadcast_to(
+        jnp.asarray(_pfr._MOD, jnp.uint32)[:, None], (16, TILE))
+    ninv_in = jnp.broadcast_to(
+        jnp.asarray(_pfr._NEG_INV, jnp.uint32)[:, None], (16, TILE))
+    extra_in, extra_specs = [], []
+    if _pfr.MXU:
+        from ..fields import pallas_redc as _redc
+        from ..fields import device as _dev
+        for mat in (_redc.toeplitz_split(_dev.FR.neg_inv, 16, 16),
+                    _redc.toeplitz_split(R_MOD, 16, 32)):
+            extra_in.append(jnp.asarray(mat))
+            extra_specs.append(pl.BlockSpec(
+                mat.shape, lambda k, j: (0, 0), memory_space=pltpu.VMEM))
+    out = pl.pallas_call(
+        _tw_kernel_factory(c, TILE),
+        grid=grid,
+        in_specs=([cspec, cspec] + extra_specs
+                  + [twspec,
+                     pl.BlockSpec((DXP, TILE), lambda k, j: (k, j),
+                                  memory_space=pltpu.VMEM)]),
+        out_specs=pl.BlockSpec((DXP, TILE), lambda k, j: (k, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((radix * DXP, ncp), jnp.int8),
+        interpret=interpret,
+    )(mod_in, ninv_in, *extra_in, twr, d)
+    return out[:, :ncols]
