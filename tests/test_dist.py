@@ -36,6 +36,25 @@ def test_sharded_msm_matches_host():
     assert got == want
 
 
+def test_sharded_msm_full_width_scalars():
+    """Full 255-bit scalars through the sharded MSM (VERDICT round-1
+    weak-spot: only the narrow 4-window path had ever run here) —
+    exercises the complete signed-digit recode incl. the carry-out
+    window, against the host Pippenger oracle."""
+    n = 32
+    pts = [g1.mul(g1.GEN, rng.randrange(1, 2**48)) for _ in range(n)]
+    scalars = [rng.randrange(R_MOD) for _ in range(n - 2)]
+    scalars += [0, R_MOD - 1]
+    want = hostmsm.msm(pts, scalars)
+
+    mesh = meshmod.make_mesh()
+    # c=8 keeps the bucket arrays small enough for the 4-core CI box's
+    # XLA CPU compiler (c=12 compiled >30 min); the full-width coverage
+    # target is the 33-window signed recode, not the bucket count
+    got = msm_sharded(mesh, pts, scalars, c=8)
+    assert got == want
+
+
 def test_sharded_ntt_matches_host():
     log_n = 7  # 128 = 16 x 8, both divisible by 8
     n = 1 << log_n
