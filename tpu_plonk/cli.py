@@ -3,6 +3,9 @@
 Commands:
   demo    build the MockCircuit, prove (host or device engine), verify,
           print per-round metrics JSON
+  prove   prove the MockCircuit and write <out>.proof/.vk/.pi artifacts
+  verify  load <out>.proof/.vk/.pi and verify (validating codecs — the
+          untrusted-input path)
   setup   generate + cache a deterministic SRS
   info    environment / device report
 """
@@ -61,6 +64,76 @@ def cmd_demo(cfg):
     return 0 if ok else 1
 
 
+def _mock_circuit(cfg):
+    from .circuits.mock_circuit import build_mock_circuit
+    composer, _pub = build_mock_circuit(
+        note_value=10_000, private_key=0xDEADBEEF,
+        hash_inputs=[1, 2, 3, 4], tx_value=7_000, gas_fee=500)
+    return composer
+
+
+def cmd_prove(cfg):
+    """Prove the demo circuit; write proof/vk/public-input artifacts
+    (dusk-bytes-style encodings) under the --out prefix."""
+    if not cfg.out:
+        print("prove needs --out <prefix>", file=sys.stderr)
+        return 2
+    from .pcs import srs as srs_mod
+    from .proof_system.preprocess import preprocess
+    from .proof_system.prover import prove
+
+    composer = _mock_circuit(cfg)
+    srs = srs_mod.cached_setup(composer.padded_size() + 8)
+    pk, vk = preprocess(composer, srs)
+    if cfg.engine == "device":
+        from .proof_system.engine_device import prove_device
+        proof = prove_device(composer, pk, srs,
+                             blinding_seed=cfg.blind.encode() or None)
+    else:
+        proof = prove(composer, pk, srs,
+                      blinding_seed=cfg.blind.encode() or None)
+    with open(cfg.out + ".proof", "wb") as f:
+        f.write(proof.to_bytes())
+    with open(cfg.out + ".vk", "wb") as f:
+        f.write(vk.to_bytes())
+    with open(cfg.out + ".pi", "w") as f:
+        json.dump({str(k): v for k, v in composer.pi.items()}, f)
+    print(json.dumps({"proof_bytes": len(proof.to_bytes()),
+                      "out": cfg.out}))
+    return 0
+
+
+def cmd_verify(cfg):
+    """Load artifacts written by `prove` and verify.  Everything comes
+    through the validating from_bytes codecs — this is the
+    untrusted-input path a proof consumer runs."""
+    if not cfg.out:
+        print("verify needs --out <prefix>", file=sys.stderr)
+        return 2
+    from .pcs import srs as srs_mod
+    from .proof_system.proof import Proof
+    from .proof_system.preprocess import VerifierKey
+    from .proof_system.verifier import verify
+
+    try:
+        with open(cfg.out + ".proof", "rb") as f:
+            proof = Proof.from_bytes(f.read())
+        with open(cfg.out + ".vk", "rb") as f:
+            vk = VerifierKey.from_bytes(f.read())
+        with open(cfg.out + ".pi") as f:
+            pi = {int(k): v for k, v in json.load(f).items()}
+    except (ValueError, OSError, json.JSONDecodeError) as e:
+        print(json.dumps({"verified": False,
+                          "error": f"{type(e).__name__}: {e}"}))
+        return 1
+    srs = srs_mod.cached_setup(vk.n + 8)
+    t0 = time.time()
+    ok = verify(proof, vk, pi, srs)
+    print(json.dumps({"verified": ok,
+                      "verify_ms": round((time.time() - t0) * 1e3, 1)}))
+    return 0 if ok else 1
+
+
 def cmd_setup(cfg):
     from .pcs import srs as srs_mod
     t0 = time.time()
@@ -81,14 +154,16 @@ def cmd_info(_cfg):
 
 def main(argv=None):
     argv = sys.argv[1:] if argv is None else argv
-    if not argv or argv[0] not in ("demo", "setup", "info"):
-        print("usage: python -m tpu_plonk.cli {demo|setup|info} [options]",
+    cmds = {"demo": cmd_demo, "prove": cmd_prove, "verify": cmd_verify,
+            "setup": cmd_setup, "info": cmd_info}
+    if not argv or argv[0] not in cmds:
+        print("usage: python -m tpu_plonk.cli "
+              "{demo|prove|verify|setup|info} [options]",
               file=sys.stderr)
         return 2
     from .utils.config import parse_args
     cfg = parse_args(argv[1:])
-    return {"demo": cmd_demo, "setup": cmd_setup,
-            "info": cmd_info}[argv[0]](cfg)
+    return cmds[argv[0]](cfg)
 
 
 if __name__ == "__main__":

@@ -14,6 +14,7 @@ class Config:
     engine: str = "host"          # 'host' | 'device'
     checkpoint: str = ""          # round-boundary resume file ('' = off)
     blind: str = ""               # ZK blinding seed ('' = deterministic)
+    out: str = ""                 # artifact path prefix for prove/verify
     srs_seed: bytes = b"tpu-plonk insecure srs"
     label: bytes = b"plonk"
 
@@ -31,8 +32,11 @@ def parse_args(argv=None) -> Config:
                    help="ZK variant: seed for deterministic blinding "
                         "(5-chunk quotient, 1088-byte proofs); keep "
                         "the seed secret and fresh per proof")
+    p.add_argument("--out", default="",
+                   help="artifact path prefix: prove writes "
+                        "<out>.proof/.vk/.pi, verify reads them")
     a = p.parse_args(argv)
     return Config(log_gates=a.log_gates,
                   msm_window_bits=a.msm_window_bits,
                   mesh_devices=a.mesh_devices, engine=a.engine,
-                  checkpoint=a.checkpoint, blind=a.blind)
+                  checkpoint=a.checkpoint, blind=a.blind, out=a.out)
