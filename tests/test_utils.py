@@ -60,6 +60,34 @@ def test_cli_demo_subprocess():
     assert payload["proof_bytes"] == 1040
 
 
+def test_cli_prove_verify_artifacts(tmp_path):
+    """prove writes .proof/.vk/.pi; verify consumes them through the
+    validating codecs; a flipped proof byte is cleanly rejected."""
+    env = dict(os.environ)
+    env["PYTHONPATH"] = os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)))
+    env["JAX_PLATFORMS"] = "cpu"
+    pfx = str(tmp_path / "art")
+    out = subprocess.run(
+        [sys.executable, "-m", "tpu_plonk.cli", "prove", "--out", pfx],
+        capture_output=True, text=True, env=env, timeout=600)
+    assert out.returncode == 0, out.stderr[-500:]
+    out = subprocess.run(
+        [sys.executable, "-m", "tpu_plonk.cli", "verify", "--out", pfx],
+        capture_output=True, text=True, env=env, timeout=600)
+    assert out.returncode == 0, out.stderr[-500:]
+    assert json.loads(out.stdout.strip().splitlines()[-1])["verified"]
+    blob = bytearray(open(pfx + ".proof", "rb").read())
+    blob[100] ^= 1
+    open(pfx + ".proof", "wb").write(bytes(blob))
+    out = subprocess.run(
+        [sys.executable, "-m", "tpu_plonk.cli", "verify", "--out", pfx],
+        capture_output=True, text=True, env=env, timeout=600)
+    assert out.returncode == 1
+    payload = json.loads(out.stdout.strip().splitlines()[-1])
+    assert payload["verified"] is False
+
+
 def test_prover_round_checkpoint_resume(tmp_path):
     """Crash-resume at a round boundary: delete later rounds from the
     checkpoint, re-prove, and confirm earlier rounds were loaded (no
