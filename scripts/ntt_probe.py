@@ -38,11 +38,25 @@ def main():
     y = nttmod.ntt(x, log_n)
     np.asarray(y[:1])
     compile_s = time.time() - t0
-    t0 = time.time()
-    for _ in range(iters):
-        y = nttmod.ntt(y, log_n)
-        np.asarray(y[:1])
-    steady = (time.time() - t0) / iters
+    profile_dir = None
+    if "--profile" in sys.argv:
+        # capture a device trace of the steady iterations (view with
+        # tensorboard --logdir <dir>); answers where the transform's
+        # wall time actually goes on the real chip
+        from tpu_plonk.utils import profiling
+        profile_dir = os.path.join(
+            os.path.dirname(__file__), os.pardir, ".cache",
+            f"profile_ntt{log_n}_{tag or 'base'}")
+        ctx = profiling.trace(profile_dir)
+    else:
+        import contextlib
+        ctx = contextlib.nullcontext()
+    with ctx:
+        t0 = time.time()
+        for _ in range(iters):
+            y = nttmod.ntt(y, log_n)
+            np.asarray(y[:1])
+        steady = (time.time() - t0) / iters
 
     # spot-check correctness against the host oracle on a small prefix
     # polynomial embedded in the same program path
@@ -68,6 +82,7 @@ def main():
         "steady_ms": round(steady * 1e3, 2),
         "compile_s": round(compile_s, 1),
         "oracle_ok": ok,
+        "profile_dir": profile_dir,
         "flags": {k_: v for k_, v in os.environ.items()
                   if k_.startswith("TPU_PLONK_")},
     }
