@@ -63,8 +63,7 @@ def main():
     k = 1 << 8
     vals = [int(v) % R_MOD for v in rng.integers(0, 1 << 62, size=k)]
     xs = jnp.asarray(limbs.fr_to_limbs(
-        [v * pow(2, 256, R_MOD) % R_MOD for v in vals]
-        + [0] * 0))
+        [v * pow(2, 256, R_MOD) % R_MOD for v in vals]))
     xs = jnp.concatenate(
         [xs, jnp.zeros((n - k, 16), jnp.uint32)], axis=0)
     ys = nttmod.ntt(xs, log_n)

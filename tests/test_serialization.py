@@ -120,3 +120,49 @@ def test_bad_proof_length_rejected():
     with pytest.raises(ValueError):
         # right length, garbage commitments
         Proof.from_bytes(b"\xff" * PROOF_SIZE)
+
+
+def test_bad_verifier_key_rejected():
+    """VerifierKey.from_bytes must bound and validate the UNTRUSTED n
+    field (it sizes SRS/domain work downstream) and the total length."""
+    import pytest
+    from tpu_plonk.proof_system.preprocess import VerifierKey
+    from tpu_plonk.cs.composer import SELECTOR_NAMES
+    from tpu_plonk.curves import g1
+
+    body = b"".join([g1.to_bytes(None)] * (len(SELECTOR_NAMES) + 4))
+    good_n = (32).to_bytes(8, "little")
+    VerifierKey.from_bytes(good_n + body)          # parses
+    for bad_n in (0, 3, 1 << 60):
+        with pytest.raises(ValueError):
+            VerifierKey.from_bytes(bad_n.to_bytes(8, "little") + body)
+    with pytest.raises(ValueError):
+        VerifierKey.from_bytes(good_n + body[:-1])
+    with pytest.raises(ValueError):
+        VerifierKey.from_bytes(good_n + body + b"\x00")
+
+
+def test_jubjub_low_order_rejected():
+    """in_subgroup must NOT reduce the scalar (a reduced [order]P check
+    is trivially true); low-order points reject, and the Schnorr
+    verifiers refuse keys/nonces outside the prime-order subgroup."""
+    from tpu_plonk.params import R_MOD
+    from tpu_plonk.curves import jubjub
+    from tpu_plonk.gadgets import schnorr
+
+    two_torsion = (0, R_MOD - 1)
+    assert jubjub.is_on_curve(two_torsion)
+    assert not jubjub.in_subgroup(two_torsion)
+    assert jubjub.in_subgroup(jubjub.GENERATOR)
+    assert jubjub.in_subgroup(jubjub.GENERATOR_NUMS)
+
+    sk, pk, pk2 = schnorr.keygen_double(0xFEED)
+    sig = schnorr.sign_double(sk, message=5)
+    assert schnorr.verify_double(pk, pk2, 5, sig)
+    # low-order offset on the second key: the dlog-equality binding
+    # must fail closed, not pass 1/2 the time
+    pk2_off = jubjub.add(pk2, two_torsion)
+    assert not schnorr.verify_double(pk, pk2_off, 5, sig)
+    s1, p1 = schnorr.keygen(0xFEED)
+    sig1 = schnorr.sign(s1, message=6)
+    assert not schnorr.verify(jubjub.add(p1, two_torsion), 6, sig1)

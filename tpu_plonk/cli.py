@@ -121,8 +121,10 @@ def cmd_verify(cfg):
         with open(cfg.out + ".vk", "rb") as f:
             vk = VerifierKey.from_bytes(f.read())
         with open(cfg.out + ".pi") as f:
-            pi = {int(k): v for k, v in json.load(f).items()}
-    except (ValueError, OSError, json.JSONDecodeError) as e:
+            from .params import R_MOD
+            pi = {int(k): int(v) % R_MOD
+                  for k, v in json.load(f).items()}
+    except (ValueError, TypeError, OSError, json.JSONDecodeError) as e:
         print(json.dumps({"verified": False,
                           "error": f"{type(e).__name__}: {e}"}))
         return 1

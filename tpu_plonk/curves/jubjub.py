@@ -60,7 +60,19 @@ def mul(p, k: int):
 
 
 def in_subgroup(p) -> bool:
-    return is_on_curve(p) and mul(p, JUBJUB_ORDER) == IDENTITY
+    """Prime-order subgroup membership: [order]P == identity, computed
+    WITHOUT mul()'s scalar reduction (which would make the check
+    trivially true — k % order == 0)."""
+    if not is_on_curve(p):
+        return False
+    r = IDENTITY
+    k = JUBJUB_ORDER
+    while k:
+        if k & 1:
+            r = add(r, p)
+        p = add(p, p)
+        k >>= 1
+    return r == IDENTITY
 
 
 def to_bytes(p) -> bytes:

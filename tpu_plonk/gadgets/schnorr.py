@@ -52,7 +52,10 @@ def sign(sk: int, message: int):
 
 def verify(pk, message: int, signature) -> bool:
     R, s = signature
-    if not (jubjub.is_on_curve(R) and jubjub.is_on_curve(pk)):
+    # prime-order membership, not just on-curve: a low-order component
+    # in pk or R would break the unique-dlog binding the scheme (and
+    # the gadget's no-reduction argument) relies on
+    if not (jubjub.in_subgroup(R) and jubjub.in_subgroup(pk)):
         return False
     c = _challenge(R, pk, message)
     lhs = jubjub.mul(jubjub.GENERATOR, s)
@@ -122,7 +125,10 @@ def verify_double(pk, pk2, message: int, signature) -> bool:
     """s*G == R + c*pk  AND  s*G_NUMS == R' + c*pk2: the shared s ties
     the discrete logs of pk (base G) and pk2 (base G_NUMS) together."""
     R, Rp, s = signature
-    if not all(jubjub.is_on_curve(p) for p in (R, Rp, pk, pk2)):
+    # subgroup checks are soundness-critical here: a low-order offset
+    # on pk2/R' would let a signer pass verification with pk2 whose
+    # dlog does NOT match pk's (the equality the scheme asserts)
+    if not all(jubjub.in_subgroup(p) for p in (R, Rp, pk, pk2)):
         return False
     c = _challenge_double(R, Rp, pk, pk2, message)
     if jubjub.mul(jubjub.GENERATOR, s) != jubjub.add(

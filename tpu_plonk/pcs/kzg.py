@@ -96,6 +96,14 @@ def batch_check(points, witnesses, agg_commitments, agg_values, u: int,
     rhs_aff = hostmsm.msm_small(rhs_pairs)
     if defer:
         return lhs_aff, rhs_aff
+    return final_pairing_check(lhs_aff, rhs_aff, srs)
+
+
+def final_pairing_check(lhs_aff, rhs_aff, srs) -> bool:
+    """The shared KZG tail: e(lhs, [tau]G2) * e(-rhs, G2) == 1 — the
+    single place that knows the 2-pairing layout and the identity
+    conventions (used by batch_check and the cross-proof batch
+    verifier)."""
     return pairing.pairing_check([
         (lhs_aff, srs.g2_tau),
         (g1.neg(rhs_aff) if rhs_aff else None, srs.g2_gen),

@@ -329,6 +329,37 @@ def window_sums_impl(points_packed, l1, l2, c: int):
     return _weighted_window_sums_impl(buckets.reshape(W, B, 3, 24), c)
 
 
+_affine_checked = None     # WeakSet of tables validated by _check_affine
+
+
+def _check_affine(points_packed):
+    """One-time (per table object) validation of window_sums_fused's
+    precondition: rows 1.. must be AFFINE (z == one_mont) — the kernel
+    reconstructs z and would silently compute garbage for an identity
+    (z == 0) row.  Costs one device reduction + sync per table
+    lifetime, not per commit (committers reuse their packed array)."""
+    global _affine_checked
+    import weakref
+    if _affine_checked is None:
+        _affine_checked = weakref.WeakSet()
+    try:
+        if points_packed in _affine_checked:
+            return
+    except TypeError:                      # non-weakref-able input
+        pass
+    one = dg1.identity(())[1]
+    if points_packed.shape[0] > 1 and not bool(
+            jnp.all(points_packed[1:, 2, :] == one[None])):
+        raise ValueError(
+            "window_sums_fused: point table rows 1.. must be affine "
+            "(z == 1); identity/projective rows are only legal at "
+            "row 0")
+    try:
+        _affine_checked.add(points_packed)
+    except TypeError:
+        pass
+
+
 def window_sums_fused(points_packed, l1, l2, c: int, interpret=False):
     """window_sums via the fused CSR-accumulate kernel
     (curves/pallas_g1.accumulate_csr): the whole list walk of each pass
@@ -336,9 +367,11 @@ def window_sums_fused(points_packed, l1, l2, c: int, interpret=False):
     chunk steps, instead of one gather + transpose + kernel launch per
     list step.  Pass 1 gathers only (x, y) — the SRS table is affine by
     construction (pack_points sets z = R on every non-identity row) —
-    and synthesizes z in-kernel.  Bit-identical to the per-step paths
-    (tests/test_msm_device.py)."""
+    and synthesizes z in-kernel.  The affine precondition is enforced
+    once per table object (_check_affine).  Bit-identical to the
+    per-step paths (tests/test_msm_device.py)."""
     from ..curves import pallas_g1 as plg
+    _check_affine(points_packed)
     tbl = jnp.concatenate(
         [points_packed[:, 0, :].T, points_packed[:, 1, :].T], axis=0)
     rx, ry, rz = plg.accumulate_csr(tbl, l1, affine=True,

@@ -50,10 +50,21 @@ class VerifierKey:
         out += [g1.to_bytes(c) for c in self.sigma_commits]
         return b"".join(out)
 
+    #: largest circuit size a decoded key may claim — bounds the SRS /
+    #: domain work an UNTRUSTED .vk file can trigger downstream
+    MAX_LOG_N = 28
+
     @staticmethod
     def from_bytes(data: bytes) -> "VerifierKey":
         from ..curves import g1
+        expect = 8 + 48 * (len(SELECTOR_NAMES) + 4)
+        if len(data) != expect:
+            raise ValueError(
+                f"VerifierKey encoding must be {expect} bytes")
         n = int.from_bytes(data[:8], "little")
+        if n < 1 or n & (n - 1) or n > (1 << VerifierKey.MAX_LOG_N):
+            raise ValueError(
+                "VerifierKey n must be a power of two within bounds")
         off = 8
         sels = {}
         for name in SELECTOR_NAMES:

@@ -4,7 +4,6 @@ reconstruction (~20-point MSM); batched KZG check with 2 pairings.
 """
 
 from ..params import R_MOD
-from ..curves import g1
 from ..poly.domain import Domain
 from ..transcript import Transcript
 from ..transcript import labels as L
@@ -140,13 +139,9 @@ def verify_batch(items, srs, label: bytes = L.PROTOCOL,
             lhs_pairs.append((lhs, r_i))
         if rhs is not None:
             rhs_pairs.append((rhs, r_i))
-    from ..curves import pairing
     lhs_aff = hostmsm.msm_small(lhs_pairs) if lhs_pairs else None
     rhs_aff = hostmsm.msm_small(rhs_pairs) if rhs_pairs else None
-    return pairing.pairing_check([
-        (lhs_aff, srs.g2_tau),
-        (g1.neg(rhs_aff) if rhs_aff else None, srs.g2_gen),
-    ])
+    return kzg.final_pairing_check(lhs_aff, rhs_aff, srs)
 
 
 def _msm_pairs(pairs):
