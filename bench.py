@@ -147,10 +147,17 @@ def _tunnel_alive(timeout: float = 5.0) -> bool:
     if "axon" not in os.environ.get("PYTHONPATH", "") and not os.path.isdir(
             "/root/.axon_site"):
         return True
-    import socket
+    # A TCP connect is NOT enough: a dead tunnel still accepts the
+    # local connection and then never answers (observed: curl exit 28,
+    # http_code 000, while create_connection succeeded).  Require an
+    # actual HTTP response within the timeout.
+    import urllib.request
     try:
-        with socket.create_connection(("127.0.0.1", 8113), timeout=timeout):
+        with urllib.request.urlopen("http://127.0.0.1:8113/",
+                                    timeout=timeout):
             return True
+    except urllib.error.HTTPError:
+        return True  # any HTTP status = the far side is answering
     except OSError:
         return False
 

@@ -73,7 +73,7 @@ def _renorm0(x, n_out: int):
     if d < n_out:
         x = jnp.concatenate(
             [x, jnp.zeros((n_out - d,) + x.shape[1:], jnp.int32)], axis=0)
-    else:
+    elif d > n_out:
         x = x[:n_out]
     for _ in range(4):
         x = (x & 0x7F) + _shift1(x >> D7)
@@ -97,10 +97,18 @@ def _conv_const(t, digits, n_out: int):
         if dig == 0 or s >= n_out:
             continue
         w = min(d_in, n_out - s)
-        seg = jnp.concatenate([
-            jnp.zeros((s,) + t.shape[1:], jnp.int32),
-            t[:w].astype(jnp.int32),
-            jnp.zeros((n_out - s - w,) + t.shape[1:], jnp.int32)], axis=0)
+        # Mosaic rejects zero-sized vector types — emit only the
+        # nonempty segments (s == 0 or an exact-fit tail are both
+        # legal shift values here).
+        parts = []
+        if s:
+            parts.append(jnp.zeros((s,) + t.shape[1:], jnp.int32))
+        parts.append(t[:w].astype(jnp.int32))
+        if n_out - s - w:
+            parts.append(
+                jnp.zeros((n_out - s - w,) + t.shape[1:], jnp.int32))
+        seg = parts[0] if len(parts) == 1 else jnp.concatenate(parts,
+                                                               axis=0)
         acc = acc + seg * np.int32(dig)
     return acc
 
