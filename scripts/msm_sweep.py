@@ -94,7 +94,10 @@ def main():
             np.asarray(s[..., :1])
             times.append(time.time() - t0)
         dev_s = min(times)
+        flags = {k: v for k, v in os.environ.items()
+                 if k.startswith("TPU_PLONK_")}
         row = {"log_n": log_n, "c": c, "chunk": chunk, "tag": tag,
+               "flags": flags,
                "R": int(l1.shape[0]), "M2": int(l2.shape[2]),
                "host_csr_s": round(host_s, 3),
                "compile_s": round(compile_s, 1),

@@ -1,0 +1,93 @@
+#!/bin/bash
+# Tunnel watcher: probe the axon TPU tunnel (CLAUDE.md #11) and, when it
+# answers HTTP, run the queued on-chip measurement jobs in priority
+# order.  Every job is re-runnable (the tunnel/worker can die mid-job —
+# docs/ROADMAP.md landmines) and is marked done only on success, so the
+# watcher can be restarted at any time.  A timeout-killed JAX job can
+# leave a truncated entry in the persistent compile cache that segfaults
+# later readers (CLAUDE.md #6), so the cache dir is wiped after any kill.
+#
+# While a job runs, bench_results/.job_lock holds its PID; bench.py
+# checks it and replays the saved bench instead of contending for the
+# single chip (two concurrent heavy JAX clients crash the tunnel
+# worker).
+#
+# Usage: bash scripts/wait_and_measure.sh  (run in background; logs to
+# bench_results/watch_log.txt, markers in bench_results/.done_*)
+
+cd "$(dirname "$0")/.." || exit 1
+LOG=bench_results/watch_log.txt
+LOCK=bench_results/.job_lock
+mkdir -p bench_results
+echo "[$(date +%T)] watcher start (pid $$)" >> "$LOG"
+
+# A previous watcher's job may still be running (orphaned): wait it out.
+if [ -f "$LOCK" ]; then
+  prev=$(cat "$LOCK" 2>/dev/null)
+  while [ -n "$prev" ] && kill -0 "$prev" 2>/dev/null; do
+    echo "[$(date +%T)] waiting for in-flight job pid $prev" >> "$LOG"
+    sleep 15
+  done
+  rm -f "$LOCK"
+fi
+
+probe() {
+  [ "$(curl -s --max-time 5 -o /dev/null -w '%{http_code}' \
+      http://127.0.0.1:8113/)" != "000" ]
+}
+
+# run_job NAME TIMEOUT_S CMD... — skip if done-marker exists; re-probe
+# first; wipe the jax compile cache if the job was killed by timeout.
+run_job() {
+  local name=$1 tmo=$2; shift 2
+  local marker="bench_results/.done_$name"
+  [ -f "$marker" ] && return 0
+  probe || return 1
+  echo "[$(date +%T)] start $name: $*" >> "$LOG"
+  timeout --signal=KILL "$tmo" "$@" >> "$LOG" 2>&1 &
+  echo $! > "$LOCK"
+  wait $!
+  local rc=$?
+  rm -f "$LOCK"
+  if [ $rc -eq 0 ]; then
+    touch "$marker"
+    echo "[$(date +%T)] done $name" >> "$LOG"
+  else
+    echo "[$(date +%T)] FAIL $name rc=$rc" >> "$LOG"
+    if [ $rc -ge 124 ]; then
+      echo "[$(date +%T)] wiping .cache/jax after kill (CLAUDE.md #6)" \
+        >> "$LOG"
+      rm -rf .cache/jax
+    fi
+    return 1
+  fi
+}
+
+while true; do
+  if probe; then
+    # 1. Opt-in Pallas kernel probes (ROADMAP #1/#2: BUILT, awaiting
+    #    measurement).  Tags mark provenance in the probe JSON rows.
+    run_job msm18_fused 1500 env TPU_PLONK_MSM_FUSED=1 \
+      python scripts/msm_sweep.py 18 --quick --tag=fused
+    run_job ntt22_pallas 1200 env TPU_PLONK_NTT_PALLAS=1 \
+      python scripts/ntt_probe.py 22 3 --tag=pallas
+    run_job ntt22_plain 900 python scripts/ntt_probe.py 22 3 --tag=plain
+    # 2. Refresh the saved bench (driver replays it if the tunnel is
+    #    down or the chip is busy at round end) BEFORE the long prove.
+    run_job bench 2400 python bench.py
+    # 3. The unmeasured BASELINE headline: e2e prove at 2^20 gates.
+    run_job prove20 7200 python scripts/prove_scale.py 20
+    # 4. Combined-flag prove at 2^18 (fast; compares vs the plain run).
+    run_job prove18_flags 2400 env TPU_PLONK_FR_PALLAS=1 \
+      TPU_PLONK_QUOT_PALLAS=1 TPU_PLONK_NTT_PALLAS=1 \
+      python scripts/prove_scale.py 18 --tag=flags
+    # All done?
+    if [ -f bench_results/.done_bench ] && \
+       [ -f bench_results/.done_prove20 ] && \
+       [ -f bench_results/.done_prove18_flags ]; then
+      echo "[$(date +%T)] queue drained; watcher exiting" >> "$LOG"
+      exit 0
+    fi
+  fi
+  sleep 20
+done
