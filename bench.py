@@ -170,6 +170,8 @@ def _merge_scale_results(extra: dict) -> None:
     for path in sorted(glob.glob(os.path.join(
             os.path.dirname(__file__), "bench_results",
             "prove_scale_*.json"))):
+        if path.endswith(".partial.json"):
+            continue  # stage checkpoint of an unfinished run
         try:
             with open(path) as f:
                 res = json.load(f)

@@ -53,7 +53,23 @@ def main():
     from tpu_plonk.proof_system.verifier import verify
 
     out = {"log_gates": log_gates, "poseidon": poseidon, "tag": tag,
-           "device": str(jax.devices()[0])}
+           "device": str(jax.devices()[0]),
+           "flags": {k: v for k, v in os.environ.items()
+                     if k.startswith("TPU_PLONK_")}}
+
+    res_dir = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "bench_results")
+    os.makedirs(res_dir, exist_ok=True)
+    suffix = f"_{tag}" if tag else ""
+    partial_path = os.path.join(
+        res_dir, f"prove_scale_{log_gates}{suffix}.partial.json")
+
+    def save_partial():
+        # stage-by-stage checkpoint: a watchdog-killed run still
+        # documents how far it got and what each stage cost
+        with open(partial_path + ".tmp", "w") as f:
+            json.dump(out, f)
+        os.replace(partial_path + ".tmp", partial_path)
 
     t0 = time.time()
     cs = build_circuit(log_gates, poseidon)
@@ -61,11 +77,13 @@ def main():
     out["n"] = n
     out["compose_s"] = round(time.time() - t0, 1)
     print("composed", out, flush=True)
+    save_partial()
 
     t0 = time.time()
     packed = srs_device.device_srs_points(n + 8)
     out["srs_s"] = round(time.time() - t0, 1)
     print("srs ready", flush=True)
+    save_partial()
 
     committer = srs_device.PackedCommitter(packed, c=13)
 
@@ -73,10 +91,12 @@ def main():
     pk, vk = preprocess_device(cs, committer)
     out["preprocess_s"] = round(time.time() - t0, 1)
     print("preprocessed %.1fs" % out["preprocess_s"], flush=True)
+    save_partial()
 
     t0 = time.time()
     dpk = DevicePK(pk)
     out["devicepk_s"] = round(time.time() - t0, 1)
+    save_partial()
 
     t0 = time.time()
     proof = prove_device(cs, pk, None, dpk=dpk,
@@ -84,6 +104,7 @@ def main():
                          commit_many_fn=committer.commit_many)
     out["prove_first_s"] = round(time.time() - t0, 1)
     print("prove first %.1fs" % out["prove_first_s"], flush=True)
+    save_partial()
 
     from tpu_plonk.utils.metrics import Metrics
     met = Metrics()
@@ -104,14 +125,12 @@ def main():
     out["verify_s"] = round(time.time() - t0, 2)
     out["verified"] = bool(ok)
     print(json.dumps(out), flush=True)
-    res_dir = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "bench_results")
-    os.makedirs(res_dir, exist_ok=True)
-    suffix = f"_{tag}" if tag else ""
     with open(os.path.join(res_dir,
                            f"prove_scale_{log_gates}{suffix}.json"),
               "w") as f:
         json.dump(out, f)
+    if os.path.exists(partial_path):
+        os.remove(partial_path)
     assert ok
 
 

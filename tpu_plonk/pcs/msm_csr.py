@@ -398,10 +398,13 @@ def window_sums(points_packed, l1, l2, c: int, use_pallas=None,
     point-add kernel (curves/pallas_g1) — one kernel per list step with
     every Fp intermediate in VMEM; the jnp path remains for CPU meshes
     and shard_map tracing and is bit-identical (asserted in tests).
-    TPU_PLONK_MSM_FUSED=1 routes through window_sums_fused (the whole
-    list walk in one kernel) instead."""
+    The whole-list-walk kernel (window_sums_fused — one pallas_call per
+    CSR pass, accumulator VMEM-resident across steps) is the DEFAULT on
+    TPU since it measured 353k pts/s @ 2^18 c=13 vs 206k for the
+    per-step path (bench_results/msm_sweep.json, v5e);
+    TPU_PLONK_MSM_FUSED=0 restores the per-step path."""
     if use_fused is None:
-        use_fused = (_os.environ.get("TPU_PLONK_MSM_FUSED", "0")
+        use_fused = (_os.environ.get("TPU_PLONK_MSM_FUSED", "1")
                      not in ("", "0")
                      and jax.default_backend() not in ("cpu",))
     if use_fused:

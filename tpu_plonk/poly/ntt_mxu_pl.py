@@ -204,14 +204,20 @@ def _tw_kernel_factory(c: int, tile: int):
         du = d_ref[:].astype(jnp.uint32)         # (DXP, T), values 0..127
         # digits -> 16 limb rows (mirror of ntt_mxu.digits_to_limbs:
         # each 16-bit column collects <= 3 shifted 7-bit digits < 2^24,
-        # then one Kogge-Stone carry pass)
-        acc = jnp.zeros((16,) + du.shape[1:], jnp.uint32)
-        for i in range(DXP):
-            lo = D7 * i
-            j, s = lo >> 4, lo & 15
-            if j < 16:
-                acc = acc.at[j:j + 1].add(du[i:i + 1] << s)
-        x = _pfr._carry(acc)
+        # then one Kogge-Stone carry pass).  Grouped per target limb as
+        # explicit sums + one concatenate: `.at[j].add` lowers to
+        # scatter-add, which Mosaic cannot lower (the mapping i -> limb
+        # j = 7i >> 4 is static and exclusive, so this is the same sum).
+        limb_rows = []
+        for j in range(16):
+            terms = [du[i:i + 1] << (D7 * i & 15)
+                     for i in range(DXP)
+                     if D7 * i < 256 and (D7 * i) >> 4 == j]
+            row = terms[0]
+            for t_ in terms[1:]:
+                row = row + t_
+            limb_rows.append(row)
+        x = _pfr._carry(jnp.concatenate(limb_rows, axis=0))
         tw_tile = tw_ref[:]
         if tile > c:
             tw_tile = jnp.concatenate([tw_tile] * (tile // c), axis=1)
