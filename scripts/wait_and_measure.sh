@@ -72,6 +72,11 @@ while true; do
     run_job ntt22_pallas 1200 env TPU_PLONK_NTT_PALLAS=1 \
       python scripts/ntt_probe.py 22 3 --tag=pallas
     run_job ntt22_plain 900 python scripts/ntt_probe.py 22 3 --tag=plain
+    # 1b. Fused MSM (now the default) at the sizes flanking 2^18 —
+    #     VERDICT wants throughput non-decreasing 2^16 -> 2^20.  A tag
+    #     makes the sweep run exactly one (c=13, default-chunk) config.
+    run_job msm16_fused 900 python scripts/msm_sweep.py 16 --tag=fused16
+    run_job msm20_fused 1800 python scripts/msm_sweep.py 20 --tag=fused20
     # 2. Refresh the saved bench (driver replays it if the tunnel is
     #    down or the chip is busy at round end) BEFORE the long prove.
     run_job bench 2400 python bench.py
