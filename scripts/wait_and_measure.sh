@@ -77,6 +77,9 @@ while true; do
     #     makes the sweep run exactly one (c=13, default-chunk) config.
     run_job msm16_fused 900 python scripts/msm_sweep.py 16 --tag=fused16
     run_job msm20_fused 1800 python scripts/msm_sweep.py 20 --tag=fused20
+    # default chunk at 2^20 measured BELOW the 2^18 rate (319k vs
+    # 353k): sweep (c, chunk) to find the right large-size defaults
+    run_job msm20_sweep 2400 python scripts/msm_sweep.py 20 --quick
     # 2. Refresh the saved bench (driver replays it if the tunnel is
     #    down or the chip is busy at round end) BEFORE the long prove.
     run_job bench 2400 python bench.py

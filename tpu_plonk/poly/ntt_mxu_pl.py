@@ -78,7 +78,10 @@ def _renorm0(x, n_out: int):
     for _ in range(4):
         x = (x & 0x7F) + _shift1(x >> D7)
     g = x >> D7
-    p = (x & 0x7F) == 0x7F
+    # propagate flag as int32 from the start: shifting/concatenating an
+    # i1 vector makes Mosaic emit an invalid i1->i32 vreg bitcast (the
+    # same rule pallas_fr._carry/_sub already follow)
+    p = ((x & 0x7F) == 0x7F).astype(jnp.int32)
     sh = 1
     while sh < n_out:
         g = g | (p & _shiftk(g, sh))
