@@ -63,7 +63,13 @@ def main():
         # tile-width sweep: one (c, chunk) point per interpreter
         grid = [(13, msm_csr.default_chunk(n, 13))]
     else:
-        for c in ((12, 13) if quick else (11, 12, 13, 14)):
+        if quick:
+            # window size should grow with n (bucket count amortizes
+            # against list depth): probe the two best candidates per size
+            cs = (12, 13) if log_n < 19 else (13, 14)
+        else:
+            cs = (11, 12, 13, 14)
+        for c in cs:
             default = msm_csr.default_chunk(n, c)
             cands = sorted({32, 64, 128, default,
                             max(32, default // 2), max(32, default // 4)})
