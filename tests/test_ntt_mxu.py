@@ -209,3 +209,26 @@ def test_fourstep_fused_pipeline(monkeypatch):
     assert np.array_equal(np.asarray(got_f), np.asarray(ref_f))
     assert np.array_equal(np.asarray(got_i), np.asarray(ref_i))
     assert np.array_equal(np.asarray(got_i), np.asarray(x))
+
+
+def test_renorm0_carry_chains():
+    """ntt_mxu_pl._renorm0 (the fused kernel's axis-0 renorm — whose
+    Kogge-Stone propagate flag is now int32 from creation, the Mosaic
+    i1 rule) vs a python-int oracle on adversarial carry chains:
+    all-max columns, all-127 propagate rows, one huge column rippling
+    across the full width."""
+    from tpu_plonk.poly import ntt_mxu_pl
+    nprng = np.random.default_rng(0x52)
+    for bound, nc, n_out in [(2**31 - 1, 80, 84), (2**31 - 1, 80, 80),
+                             (640000, 39, 39), (127, 10, 14)]:
+        cols = nprng.integers(0, bound + 1, size=(nc, 8),
+                              dtype=np.int64).astype(np.int32)
+        cols[:, 0] = bound                    # all-max column
+        cols[:, 1] = min(127, bound)          # all-propagate column
+        cols[:, 2] = 0
+        cols[0, 2] = bound                    # single ripple source
+        got = np.asarray(ntt_mxu_pl._renorm0(jnp.asarray(cols), n_out))
+        for r in range(8):
+            v = sum(int(c) << (7 * i) for i, c in enumerate(cols[:, r]))
+            want = [(v >> (7 * i)) & 0x7F for i in range(n_out)]
+            assert [int(x) & 0x7F for x in got[:, r]] == want, (bound, r)
