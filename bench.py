@@ -84,6 +84,40 @@ def bench_msm(log_n: int, c: int = 13):
     return n / e2e, n / dev_s, host_s, dev_s, first_s
 
 
+def bench_msm_pipelined(log_n: int, k: int = 4, c: int = 13):
+    """Production-shape MSM throughput (VERDICT r2 #5): a stream of k
+    polynomials committed back-to-back, the way the prover does (11+
+    commits per proof) — each host CSR build overlaps the device walk
+    of the previous polynomial (JAX async dispatch), so steady-state
+    cost/commit is max(host_csr, device) not their sum."""
+    from tpu_plonk.curves import g1
+    from tpu_plonk.pcs import msm_csr
+
+    n = 1 << log_n
+    base = [g1.mul(g1.GEN, j + 1) for j in range(64)]
+    pts = msm_csr.pack_points([base[i % 64] for i in range(n)])
+    rng = np.random.default_rng(13)
+    canons = []
+    for _ in range(k):
+        canon = rng.integers(0, 1 << 16, size=(n, 16), dtype=np.uint16)
+        canon[:, 15] &= 0x7FFF
+        canons.append(canon.astype(np.uint32))
+    # warm the kernels (first call compiles)
+    l1, l2 = msm_csr.csr_from_limbs(canons[0], c)
+    _force(msm_csr.window_sums(pts, jax.device_put(l1),
+                               jax.device_put(l2), c))
+    t0 = time.time()
+    sums = []
+    for canon in canons:
+        l1, l2 = msm_csr.csr_from_limbs(canon, c)
+        sums.append(msm_csr.window_sums(
+            pts, jax.device_put(l1), jax.device_put(l2), c))
+    for s in sums:
+        _force(s)
+    total = time.time() - t0
+    return k * n / total
+
+
 def bench_prove():
     """End-to-end prove+verify wall-clock at 2^10 gates (host oracle
     engine — deterministic, no device compile risk)."""
@@ -209,19 +243,28 @@ def _chip_busy() -> bool:
     """A watcher job (scripts/wait_and_measure.sh) may be mid-flight on
     the single chip — two concurrent heavy JAX clients crash the tunnel
     worker.  The watcher's lock file holds the running job's PID; treat
-    the chip as busy if that PID is alive and is not an ancestor of this
-    process (the watcher itself runs bench.py under the lock)."""
+    the chip as busy only if that PID is alive, actually IS a python
+    measurement job (PID-recycling guard, ADVICE r2), is not stale
+    (lock older than the longest job timeout = orphaned), and is not an
+    ancestor of this process (the watcher itself runs bench.py under
+    the lock)."""
     path = os.path.join(os.path.dirname(__file__), "bench_results",
                         ".job_lock")
     try:
+        age = time.time() - os.path.getmtime(path)
         with open(path) as f:
             pid = int(f.read().strip())
     except (OSError, ValueError):
         return False
-    # is `pid` alive?
+    if age > 7800:      # > the watcher's 7200 s hard job timeout
+        return False
+    # is `pid` alive AND a python job (not a recycled PID)?
     try:
-        os.kill(pid, 0)
+        with open(f"/proc/{pid}/cmdline", "rb") as f:
+            cmdline = f.read().decode("utf-8", "replace")
     except OSError:
+        return False
+    if "python" not in cmdline and "bench" not in cmdline:
         return False
     # is it an ancestor of us (the watcher's own bench job)?
     cur = os.getpid()
@@ -239,6 +282,13 @@ def _chip_busy() -> bool:
 
 
 def main():
+    # If a watcher job holds the chip, WAIT (up to ~25 min) for it to
+    # finish rather than instantly replaying a stale result — the
+    # driver-recorded bench must be a fresh measurement (VERDICT r2 #2).
+    deadline = time.time() + float(
+        os.environ.get("TPU_PLONK_BENCH_LOCK_WAIT_S", "1500"))
+    while _chip_busy() and time.time() < deadline:
+        time.sleep(15)
     if _chip_busy():
         if _replay_last_bench("a watcher measurement job holds the chip;"
                               " replaying last on-chip run"):
@@ -280,6 +330,16 @@ def main():
     extra["msm_2^18_device_s"] = round(dev_s, 3)
     extra["msm_2^18_device_pts_per_s"] = round(dev_pps, 0)
     extra["msm_2^16_pts_per_s"] = round(pps16, 0)
+    extra["msm_2^18_single_shot_pts_per_s"] = round(pps, 0)
+
+    try:
+        pps_pipe = bench_msm_pipelined(18)
+        extra["msm_2^18_pipelined_pts_per_s"] = round(pps_pipe, 0)
+        # the pipelined stream is the production shape (the prover
+        # commits 11+ polys back-to-back) — report it as the headline
+        pps = pps_pipe
+    except Exception as e:  # noqa: BLE001
+        extra["msm_pipelined_error"] = type(e).__name__
 
     try:
         dprove_s, dprove_first = bench_device_prove(14)

@@ -48,7 +48,8 @@ def main():
 
     from tpu_plonk.pcs import srs_device
     from tpu_plonk.pcs.msm_csr import signed_window_count  # noqa: F401
-    from tpu_plonk.proof_system.preprocess import preprocess_device
+    from tpu_plonk.proof_system.preprocess import (
+        preprocess_device_cached)
     from tpu_plonk.proof_system.engine_device import prove_device, DevicePK
     from tpu_plonk.proof_system.verifier import verify
 
@@ -88,7 +89,7 @@ def main():
     committer = srs_device.PackedCommitter(packed, c=13)
 
     t0 = time.time()
-    pk, vk = preprocess_device(cs, committer)
+    pk, vk = preprocess_device_cached(cs, committer, verbose=True)
     out["preprocess_s"] = round(time.time() - t0, 1)
     print("preprocessed %.1fs" % out["preprocess_s"], flush=True)
     save_partial()

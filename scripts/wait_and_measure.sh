@@ -12,14 +12,21 @@
 # single chip (two concurrent heavy JAX clients crash the tunnel
 # worker).
 #
-# Usage: bash scripts/wait_and_measure.sh  (run in background; logs to
-# bench_results/watch_log.txt, markers in bench_results/.done_*)
+# Usage: bash scripts/wait_and_measure.sh [deadline_epoch]
+# (run in background; logs to bench_results/watch_log.txt, markers in
+# bench_results/.done_*).  ADVICE r2: a job that fails MAX_FAILS times
+# consecutively is dropped from the queue (no infinite retry of a
+# deterministic crash), and the watcher exits unconditionally at the
+# deadline (default: 3 h from start) so the chip is free and the lock
+# released well before the driver's round-end bench (VERDICT r2 #2).
 
 cd "$(dirname "$0")/.." || exit 1
 LOG=bench_results/watch_log.txt
 LOCK=bench_results/.job_lock
+MAX_FAILS=3
+DEADLINE=${1:-$(( $(date +%s) + 10800 ))}
 mkdir -p bench_results
-echo "[$(date +%T)] watcher start (pid $$)" >> "$LOG"
+echo "[$(date +%T)] watcher start (pid $$, deadline $(date -d @"$DEADLINE" +%T))" >> "$LOG"
 
 # A previous watcher's job may still be running (orphaned): wait it out.
 if [ -f "$LOCK" ]; then
@@ -41,7 +48,18 @@ probe() {
 run_job() {
   local name=$1 tmo=$2; shift 2
   local marker="bench_results/.done_$name"
+  local failf="bench_results/.fail_$name"
   [ -f "$marker" ] && return 0
+  local fails=0
+  [ -f "$failf" ] && fails=$(cat "$failf")
+  if [ "$fails" -ge "$MAX_FAILS" ]; then
+    return 0   # dropped: deterministic crasher, stop burning chip time
+  fi
+  # never start a job that can't finish before the deadline
+  if [ $(( $(date +%s) + tmo )) -gt "$DEADLINE" ]; then
+    echo "[$(date +%T)] skip $name (would cross deadline)" >> "$LOG"
+    return 1
+  fi
   probe || return 1
   echo "[$(date +%T)] start $name: $*" >> "$LOG"
   timeout --signal=KILL "$tmo" "$@" >> "$LOG" 2>&1 &
@@ -51,19 +69,27 @@ run_job() {
   rm -f "$LOCK"
   if [ $rc -eq 0 ]; then
     touch "$marker"
+    rm -f "$failf"
     echo "[$(date +%T)] done $name" >> "$LOG"
   else
-    echo "[$(date +%T)] FAIL $name rc=$rc" >> "$LOG"
+    echo $(( fails + 1 )) > "$failf"
+    echo "[$(date +%T)] FAIL $name rc=$rc (attempt $(( fails + 1 ))/$MAX_FAILS)" >> "$LOG"
     if [ $rc -ge 124 ]; then
       echo "[$(date +%T)] wiping .cache/jax after kill (CLAUDE.md #6)" \
         >> "$LOG"
       rm -rf .cache/jax
     fi
+    sleep $(( 60 * (fails + 1) ))   # backoff between retries
     return 1
   fi
 }
 
 while true; do
+  if [ "$(date +%s)" -gt "$DEADLINE" ]; then
+    echo "[$(date +%T)] deadline reached; watcher exiting" >> "$LOG"
+    rm -f "$LOCK"
+    exit 0
+  fi
   if probe; then
     # 1. Opt-in Pallas kernel probes (ROADMAP #1/#2: BUILT, awaiting
     #    measurement).  Tags mark provenance in the probe JSON rows.
@@ -89,10 +115,13 @@ while true; do
     run_job prove18_flags 2400 env TPU_PLONK_FR_PALLAS=1 \
       TPU_PLONK_QUOT_PALLAS=1 TPU_PLONK_NTT_PALLAS=1 \
       python scripts/prove_scale.py 18 --tag=flags
-    # All done?
-    if [ -f bench_results/.done_bench ] && \
-       [ -f bench_results/.done_prove20 ] && \
-       [ -f bench_results/.done_prove18_flags ]; then
+    # All done?  (a job dropped after MAX_FAILS counts as terminal)
+    settled() {
+      [ -f "bench_results/.done_$1" ] && return 0
+      [ -f "bench_results/.fail_$1" ] && \
+        [ "$(cat "bench_results/.fail_$1")" -ge "$MAX_FAILS" ]
+    }
+    if settled bench && settled prove20 && settled prove18_flags; then
       echo "[$(date +%T)] queue drained; watcher exiting" >> "$LOG"
       exit 0
     fi

@@ -145,6 +145,41 @@ def cmd_setup(cfg):
     return 0
 
 
+def cmd_cache_warm(cfg):
+    """Warm every disk cache a scale prove needs (VERDICT r2 #6):
+    device SRS points, preprocess products (selector/sigma coeffs +
+    commitments, keyed by circuit hash), and — as a side effect of one
+    throwaway prove at the target size — the persistent XLA compile
+    cache.  After this, a fresh session reaches steady-prove in minutes
+    instead of ~30+."""
+    import jax
+    from .cs import Composer
+    from .pcs import srs_device
+    from .proof_system.preprocess import preprocess_device_cached
+    from .proof_system.engine_device import prove_device, DevicePK
+
+    t0 = time.time()
+    cs = Composer()
+    prev = cs.add_input(3)
+    while cs.n_gates < (1 << cfg.log_gates) - 1:
+        prev = cs.mul(1, prev, prev, 3)
+    n = cs.padded_size()
+    packed = srs_device.device_srs_points(n + 8)
+    srs_s = round(time.time() - t0, 1)
+    t0 = time.time()
+    committer = srs_device.PackedCommitter(packed, c=13)
+    pk, vk = preprocess_device_cached(cs, committer, verbose=True)
+    pp_s = round(time.time() - t0, 1)
+    t0 = time.time()
+    dpk = DevicePK(pk)
+    prove_device(cs, pk, None, dpk=dpk, commit_fn=committer.commit,
+                 commit_many_fn=committer.commit_many)
+    print(json.dumps({"n": n, "srs_s": srs_s, "preprocess_s": pp_s,
+                      "prove_compile_s": round(time.time() - t0, 1),
+                      "backend": jax.default_backend()}))
+    return 0
+
+
 def cmd_info(_cfg):
     import jax
     print(json.dumps({
@@ -157,10 +192,11 @@ def cmd_info(_cfg):
 def main(argv=None):
     argv = sys.argv[1:] if argv is None else argv
     cmds = {"demo": cmd_demo, "prove": cmd_prove, "verify": cmd_verify,
-            "setup": cmd_setup, "info": cmd_info}
+            "setup": cmd_setup, "info": cmd_info,
+            "cache-warm": cmd_cache_warm}
     if not argv or argv[0] not in cmds:
         print("usage: python -m tpu_plonk.cli "
-              "{demo|prove|verify|setup|info} [options]",
+              "{demo|prove|verify|setup|info|cache-warm} [options]",
               file=sys.stderr)
         return 2
     from .utils.config import parse_args

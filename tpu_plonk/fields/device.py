@@ -301,12 +301,26 @@ def _carry_array(cols):
     return (s + cin) & LIMB_MASK
 
 
-#: opt-in: route large Fr elementwise multiplies through the fused
-#: Pallas kernel (fields/pallas_fr.py) on real TPUs — the scan comba
-#: below is ~16 dependent HBM passes per multiply at prover scale.
-#: Read at trace time; bit-exact either way (tests/test_pallas_fr.py).
-FR_PALLAS = _os.environ.get("TPU_PLONK_FR_PALLAS", "0") not in ("", "0")
+#: route large Fr elementwise multiplies through the fused Pallas
+#: kernel (fields/pallas_fr.py) — the scan comba below is ~16 dependent
+#: HBM passes per multiply at prover scale.  DEFAULT ON for TPU: the
+#: four-step NTT's twiddle boundary measured 768 ms -> 46 ms and the
+#: full 2^22 NTT 1137 -> 429 ms (bench_results/ntt_twiddle_pallas.log,
+#: v5e, r3).  Tri-state like poly.ntt_mxu.NTT_PALLAS: None = auto (env
+#: TPU_PLONK_FR_PALLAS overrides, else on for non-CPU backends); tests
+#: monkeypatch it.  Read at trace time; bit-exact either way
+#: (tests/test_pallas_fr.py).
+FR_PALLAS = None
 _FR_PALLAS_MIN = 1 << 15
+
+
+def _fr_pallas_default() -> bool:
+    if FR_PALLAS is not None:
+        return FR_PALLAS
+    env = _os.environ.get("TPU_PLONK_FR_PALLAS")
+    if env is not None:
+        return env not in ("", "0")
+    return jax.default_backend() not in ("cpu",)
 
 
 @functools.partial(jax.jit, static_argnames=("ctx",))
@@ -320,9 +334,10 @@ def mont_mul(a, b, ctx: FieldCtx):
     shape = jnp.broadcast_shapes(a.shape, b.shape)
     a = jnp.broadcast_to(a.astype(U32), shape)
     b = jnp.broadcast_to(b.astype(U32), shape)
-    if (FR_PALLAS and ctx.name == "fr"
+    if (ctx.name == "fr"
             and int(np.prod(shape[:-1])) >= _FR_PALLAS_MIN
-            and jax.default_backend() not in ("cpu",)):
+            and jax.default_backend() not in ("cpu",)
+            and _fr_pallas_default()):
         from . import pallas_fr
         return pallas_fr.mont_mul(a, b)
     _guard(a, ctx, "mont_mul.a")

@@ -38,9 +38,11 @@ class DeviceCommitter:
         s = msm_csr.window_sums(self.points, l1, l2, self.c)
         return msm_csr.fold_windows_host(msm_csr.sums_to_host(s), self.c)
 
-    def commit_many(self, coeffs_list):
+    def commit_many(self, coeffs_list, prefetch_cb=None):
         """Pipelined batch commit (host CSR build overlapped with the
-        device MSM of the previous polynomial)."""
+        device MSM of the previous polynomial); prefetch_cb may enqueue
+        later-round device work into the idle window (msm_csr
+        docstring)."""
         return msm_csr.commit_many_packed(
             self.points, coeffs_list, self.c, self.n_windows,
-            self.max_len)
+            self.max_len, prefetch_cb=prefetch_cb)

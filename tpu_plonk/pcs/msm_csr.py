@@ -329,35 +329,47 @@ def window_sums_impl(points_packed, l1, l2, c: int):
     return _weighted_window_sums_impl(buckets.reshape(W, B, 3, 24), c)
 
 
-_affine_checked = None     # WeakSet of tables validated by _check_affine
+_affine_ok = None          # WeakSet of tables validated affine
+_affine_bad = None         # WeakSet of tables known NON-affine
 
 
-def _check_affine(points_packed):
-    """One-time (per table object) validation of window_sums_fused's
+def _table_is_affine(points_packed) -> bool:
+    """One-time (per table object) check of window_sums_fused's
     precondition: rows 1.. must be AFFINE (z == one_mont) — the kernel
     reconstructs z and would silently compute garbage for an identity
     (z == 0) row.  Costs one device reduction + sync per table
-    lifetime, not per commit (committers reuse their packed array)."""
-    global _affine_checked
+    lifetime, not per commit (committers reuse their packed array).
+    Verdicts (both signs) are memoized so a projective table routed to
+    the per-step fallback doesn't re-pay the reduction each commit."""
+    global _affine_ok, _affine_bad
     import weakref
-    if _affine_checked is None:
-        _affine_checked = weakref.WeakSet()
+    if _affine_ok is None:
+        _affine_ok = weakref.WeakSet()
+        _affine_bad = weakref.WeakSet()
     try:
-        if points_packed in _affine_checked:
-            return
+        if points_packed in _affine_ok:
+            return True
+        if points_packed in _affine_bad:
+            return False
     except TypeError:                      # non-weakref-able input
         pass
     one = dg1.identity(())[1]
-    if points_packed.shape[0] > 1 and not bool(
-            jnp.all(points_packed[1:, 2, :] == one[None])):
+    ok = points_packed.shape[0] <= 1 or bool(
+        jnp.all(points_packed[1:, 2, :] == one[None]))
+    try:
+        (_affine_ok if ok else _affine_bad).add(points_packed)
+    except TypeError:
+        pass
+    return ok
+
+
+def _check_affine(points_packed):
+    if not _table_is_affine(points_packed):
         raise ValueError(
             "window_sums_fused: point table rows 1.. must be affine "
             "(z == 1); identity/projective rows are only legal at "
-            "row 0")
-    try:
-        _affine_checked.add(points_packed)
-    except TypeError:
-        pass
+            "row 0 — batch-normalize the table first "
+            "(pcs.srs_device._normalize_packed)")
 
 
 def window_sums_fused(points_packed, l1, l2, c: int, interpret=False):
@@ -406,7 +418,11 @@ def window_sums(points_packed, l1, l2, c: int, use_pallas=None,
     if use_fused is None:
         use_fused = (_os.environ.get("TPU_PLONK_MSM_FUSED", "1")
                      not in ("", "0")
-                     and jax.default_backend() not in ("cpu",))
+                     and jax.default_backend() not in ("cpu",)
+                     # projective tables (e.g. hand-built) fall back to
+                     # the per-step path, which accepts any
+                     # representative, instead of raising (ADVICE r2)
+                     and _table_is_affine(points_packed))
     if use_fused:
         return window_sums_fused(points_packed, jnp.asarray(l1), l2, c)
     if use_pallas is None:
@@ -548,7 +564,8 @@ def sums_to_host(sums) -> list:
 
 
 def commit_many_packed(points_packed, coeffs_list, c: int,
-                       n_windows: int, max_len: int):
+                       n_windows: int, max_len: int,
+                       prefetch_cb=None):
     """Pipelined multi-commit (the within-round overlap of SURVEY §2.10
     "Round pipeline"): all Montgomery->canonical conversions are
     dispatched and pulled first, then each CSR build (host, ~0.3-1.3 s
@@ -556,13 +573,22 @@ def commit_many_packed(points_packed, coeffs_list, c: int,
     polynomial's window sums — the device queue stays full instead of
     idling behind the host builder.  Transcript-legal because
     commitments inside one prover round are all appended before the
-    next challenge is squeezed."""
+    next challenge is squeezed.
+
+    prefetch_cb (VERDICT r2 #9 cross-round pipelining): called after
+    the canonical conversions are dispatched but before the blocking
+    host pulls — the callback may enqueue challenge-independent device
+    work for LATER rounds (e.g. wire/PI quotient-phase NTTs), which
+    then executes in the device-idle window behind the host CSR
+    builds."""
     canons = []
     for cf in coeffs_list:
         n = cf.shape[0]
         if n > max_len:
             raise ValueError("polynomial exceeds committed SRS")
         canons.append((dev.from_mont(cf, dev.FR), n))
+    if prefetch_cb is not None:
+        prefetch_cb()
     padded = [np.pad(np.asarray(cn), ((0, max_len - n), (0, 0)))
               for cn, n in canons]
     sums = []

@@ -6,10 +6,12 @@ docstring claim with a real TPU generator).
 scalar tau^i (host pow chain, cheap); 255 steps of
   acc_i += bit_{i,k} ? base : identity ;  base = [2]base
 run as ONE (n,)-batched complete add per step (the per-step base is a
-broadcast constant — every lane shares [2^k]G).  Output stays
-PROJECTIVE Montgomery limbs: the CSR MSM consumes any projective
-representative, so no batch normalization is needed; host affine points
-are only materialized on demand (`to_affine`).
+broadcast constant — every lane shares [2^k]G).  The ladder emits
+PROJECTIVE Montgomery limbs; the table is then batch-normalized to
+AFFINE (one Montgomery-trick inversion, amortized over the cache
+lifetime) because the fused CSR MSM (msm_csr.window_sums_fused, the
+TPU default) requires z == 1 on every non-identity row.  Old
+projective .npy caches are migrated in place on load.
 
 Deterministic, INSECURE (test/bench) tau — same derivation as
 pcs/srs.setup, so device- and host-generated SRS agree pointwise and
@@ -61,6 +63,35 @@ def _batch_ladder(bits, base_x, base_y):
     return jnp.stack(acc, axis=1)
 
 
+@jax.jit
+def _normalize_packed(packed):
+    """Batch-normalize a packed (N, 3, 24) projective Montgomery table
+    to affine: z = R on every non-identity row; identity rows (z == 0)
+    pass through unchanged.  One Montgomery-trick batch inversion
+    (blocked scans — safe at 2^20+, CLAUDE rule 10) + 2 batched muls.
+
+    Required because msm_csr.window_sums_fused (the TPU-default commit
+    path) reconstructs z in-kernel and assumes affine rows; feeding it
+    projective ladder output computed garbage-free but REJECTED tables
+    (ADVICE r2 high finding)."""
+    x, y, z = packed[:, 0], packed[:, 1], packed[:, 2]
+    zinv = dev.batch_inv_mont(z, dev.FP)          # zeros -> zero
+    ident = dev.is_zero(z)
+    one = jnp.asarray(dg1.identity(())[1])
+    xn = jnp.where(ident[:, None], x, dev.mont_mul(x, zinv, dev.FP))
+    yn = jnp.where(ident[:, None], y, dev.mont_mul(y, zinv, dev.FP))
+    zn = jnp.where(ident[:, None], z, jnp.broadcast_to(one, z.shape))
+    return jnp.stack([xn, yn, zn], axis=1)
+
+
+def _is_affine_packed(packed_np) -> bool:
+    """Host-side check: every non-identity row has z == R."""
+    one = np.asarray(dg1.identity(())[1])
+    z = packed_np[:, 2, :]
+    ident = ~z.any(axis=1)
+    return bool(np.all(ident | (z == one[None]).all(axis=1)))
+
+
 def device_srs_points(max_len: int,
                       seed: bytes = b"tpu-plonk insecure srs",
                       block: int = 1 << 15) -> jnp.ndarray:
@@ -72,7 +103,17 @@ def device_srs_points(max_len: int,
     os.makedirs(_CACHE_DIR, exist_ok=True)
     path = os.path.join(_CACHE_DIR, f"srs_dev_{max_len}.npy")
     if os.path.exists(path):
-        return jnp.asarray(np.load(path))
+        cached = np.load(path)
+        if not _is_affine_packed(cached):
+            # pre-r3 caches are projective: migrate once, in blocks
+            # (a single 2^20 batch_inv graph is fine, but blocks keep
+            # peak HBM bounded and reuse one compiled shape)
+            blocks = [np.asarray(_normalize_packed(
+                jnp.asarray(cached[lo:lo + block])))
+                for lo in range(0, cached.shape[0], block)]
+            cached = np.concatenate(blocks, axis=0)
+            np.save(path, cached)
+        return jnp.asarray(cached)
     tau = _tau(seed)
     scalars = np.empty(max_len, dtype=object)
     acc = 1
@@ -91,8 +132,8 @@ def device_srs_points(max_len: int,
         bits = np.zeros((255, hi - lo), dtype=np.uint8)
         for b in range(255):
             bits[b] = (sub[:, b // 16] >> (b % 16)) & 1
-        out_blocks.append(np.asarray(
-            _batch_ladder(jnp.asarray(bits), gx, gy)))
+        out_blocks.append(np.asarray(_normalize_packed(
+            _batch_ladder(jnp.asarray(bits), gx, gy))))
     pts = np.concatenate(out_blocks, axis=0)
     ident = np.asarray(jnp.stack(dg1.identity((1,)), axis=1))
     packed = np.concatenate([ident, pts], axis=0)
@@ -135,9 +176,11 @@ class PackedCommitter:
         s = msm_csr.window_sums(self.points, l1, l2, self.c)
         return msm_csr.fold_windows_host(msm_csr.sums_to_host(s), self.c)
 
-    def commit_many(self, coeffs_list):
+    def commit_many(self, coeffs_list, prefetch_cb=None):
         """Pipelined batch commit (host CSR build overlapped with the
-        device MSM of the previous polynomial)."""
+        device MSM of the previous polynomial); prefetch_cb may enqueue
+        later-round device work into the idle window (msm_csr
+        docstring)."""
         return msm_csr.commit_many_packed(
             self.points, coeffs_list, self.c, self.n_windows,
-            self.max_len)
+            self.max_len, prefetch_cb=prefetch_cb)

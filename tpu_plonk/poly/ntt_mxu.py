@@ -270,12 +270,25 @@ def dft_level(x_digits, w2, radix: int):
 # ---------------------------------------------------------------------------
 
 
-#: opt-in: fuse each DFT level's digit pipeline (renorm -> REDC' ->
-#: renorm) into one Pallas kernel (ntt_mxu_pl.py) — as XLA ops the
-#: chain makes ~15 HBM passes over the matmul columns per level.
-#: Read at call time in ntt_mxu_batched; bit-exact either way.
+#: fuse each DFT level's digit pipeline (renorm -> REDC' -> renorm)
+#: into one Pallas kernel (ntt_mxu_pl.py) — as XLA ops the chain makes
+#: ~15 HBM passes over the matmul columns per level.  DEFAULT ON for
+#: TPU since it measured 1131 ms vs 3598 ms @ 2^22, oracle_ok
+#: (bench_results/ntt_probe.json, VERDICT r2 #3); CPU keeps the jnp
+#: path (interpret-mode Pallas is test-only).  Tri-state: None = auto
+#: (env var TPU_PLONK_NTT_PALLAS overrides, else backend-based); tests
+#: monkeypatch it to True to exercise the kernel in interpret mode.
 import os as _os
-NTT_PALLAS = _os.environ.get("TPU_PLONK_NTT_PALLAS", "0") not in ("", "0")
+NTT_PALLAS = None
+
+
+def _ntt_pallas_default() -> bool:
+    if NTT_PALLAS is not None:
+        return NTT_PALLAS
+    env = _os.environ.get("TPU_PLONK_NTT_PALLAS")
+    if env is not None:
+        return env not in ("", "0")
+    return jax.default_backend() not in ("cpu",)
 
 
 @functools.lru_cache(maxsize=None)
@@ -395,7 +408,7 @@ def ntt_mxu_batched(x, log_n: int, radix: int = None,
     in_scale %= R_MOD
     out_scale %= R_MOD
     if use_pl is None:
-        use_pl = NTT_PALLAS
+        use_pl = _ntt_pallas_default()
     if use_pl:
         from .ntt_mxu_pl import DXP, DCP
         dxw, dcw = DXP, DCP

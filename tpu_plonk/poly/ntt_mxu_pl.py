@@ -216,6 +216,11 @@ def _tw_kernel_factory(c: int, tile: int):
             terms = [du[i:i + 1] << (D7 * i & 15)
                      for i in range(DXP)
                      if D7 * i < 256 and (D7 * i) >> 4 == j]
+            # every limb j has >=1 contributor for D7=7/DXP=40; a
+            # future stride change must not fail with a bare IndexError
+            assert terms, (
+                f"no digit contributes to limb {j}: D7={D7} DXP={DXP} "
+                "stride change broke the digit->limb mapping")
             row = terms[0]
             for t_ in terms[1:]:
                 row = row + t_

@@ -77,6 +77,84 @@ class VerifierKey:
         return VerifierKey(n, sels, sigmas)
 
 
+def circuit_fingerprint(composer) -> str:
+    """Stable hash of the circuit STRUCTURE (selector columns, wire
+    permutation, padded size) — the exact inputs of preprocessing.
+    Public-input VALUES and witness are excluded on purpose: they don't
+    affect ProverKey/VerifierKey, and including them would invalidate
+    the preprocess cache on every new instance."""
+    import hashlib
+    h = hashlib.sha256()
+    h.update(b"tpu-plonk ppdev v1\0")
+    h.update(composer.padded_size().to_bytes(8, "little"))
+    for name in SELECTOR_NAMES:
+        col = composer.q[name]
+        h.update(name.encode() + b"\0" + len(col).to_bytes(8, "little"))
+        h.update(b"".join((v % R_MOD).to_bytes(32, "little")
+                          for v in col))
+    import numpy as np
+    for w in "abcd":
+        h.update(np.asarray(composer.wires[w], dtype=np.int64).tobytes())
+    return h.hexdigest()[:20]
+
+
+def preprocess_device_cached(composer, committer, cache_dir=None,
+                             verbose=False):
+    """preprocess_device with a disk cache keyed by circuit hash
+    (VERDICT r2 #6 — selector/sigma coefficient tables and their
+    commitments are circuit-static; at 2^18+ recomputing them costs
+    ~10 min of device iNTTs + commit MSMs per session).  Coefficient
+    limbs are stored as uint16 (Montgomery 16-bit limbs — lossless) so
+    a 2^20 circuit caches in ~500 MB."""
+    import os
+    import numpy as np
+    import jax.numpy as jnp
+    from ..curves import g1
+
+    if cache_dir is None:
+        cache_dir = os.path.join(os.path.dirname(__file__), "..", "..",
+                                 ".cache")
+    os.makedirs(cache_dir, exist_ok=True)
+    fp = circuit_fingerprint(composer)
+    path = os.path.join(cache_dir, f"ppdev_{fp}.npz")
+
+    n = composer.padded_size()
+    pad = n - composer.n_gates
+    wire_vars = {w: composer.wires[w] + [0] * pad for w in "abcd"}
+
+    if os.path.exists(path):
+        if verbose:
+            print(f"preprocess cache hit: {path}")
+        z = np.load(path)
+        sel_coeffs = {name: jnp.asarray(
+            z[f"sel_{name}"].astype(np.uint32))
+            for name in SELECTOR_NAMES}
+        sigma_coeffs = [jnp.asarray(z[f"sigma_{i}"].astype(np.uint32))
+                        for i in range(4)]
+        vk = VerifierKey.from_bytes(bytes(z["vk"].tobytes()))
+        pk = ProverKey(n, Domain(n), Domain(4 * n), sel_coeffs, None,
+                       sigma_coeffs, None, wire_vars, None, None, None)
+        return pk, vk
+
+    pk, vk = preprocess_device(composer, committer)
+
+    def _u16(v):
+        a = np.asarray(v)
+        assert a.max(initial=0) < (1 << 16), \
+            "coefficient limbs not 16-bit-canonical; cannot cache as u16"
+        return a.astype(np.uint16)
+
+    arrays = {f"sel_{k}": _u16(v)
+              for k, v in pk.selector_coeffs.items()}
+    arrays.update({f"sigma_{i}": _u16(v)
+                   for i, v in enumerate(pk.sigma_coeffs)})
+    arrays["vk"] = np.frombuffer(vk.to_bytes(), dtype=np.uint8)
+    tmp = path + ".tmp.npz"
+    np.savez(tmp, **arrays)
+    os.replace(tmp, path)
+    return pk, vk
+
+
 def preprocess_device(composer, committer):
     """Scale-path preprocessing (2^18+): selector/sigma columns are
     converted once, iNTT'd on DEVICE, and committed through the device

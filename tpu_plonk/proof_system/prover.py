@@ -51,7 +51,8 @@ def _add_zh_mult(coeffs, bs, n: int):
 
 
 def prove(composer, pk, srs, label: bytes = L.PROTOCOL,
-          ckpt=None, blinding_seed: bytes = None) -> Proof:
+          ckpt=None, blinding_seed: bytes = None,
+          challenge_trace: dict = None) -> Proof:
     """5-round prover.  Optional `ckpt` (utils.checkpoint.RoundCheckpoint)
     persists each round's outputs; on restart, completed rounds load
     from disk and the transcript replays deterministically from the
@@ -256,6 +257,12 @@ def prove(composer, pk, srs, label: bytes = L.PROTOCOL,
 
     append_evals(t, ev, t_eval)
     v = t.challenge_scalar(L.AGGREGATE_WITNESS)
+    if challenge_trace is not None:
+        # parity hook (tests/test_parity_fixtures.py): expose the
+        # squeezed challenges so dusk-exported challenges.json can pin
+        # transcript labels + append order per round
+        challenge_trace.update(beta=beta, gamma=gamma, alpha=alpha,
+                               zeta=zeta, v=v)
 
     # ------------------------------------------------------ round 5
     agg_zeta_polys = [
