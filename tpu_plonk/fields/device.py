@@ -435,9 +435,19 @@ def blocked_scan(a, combine, one_elem, axis=0, reverse=False,
     return jnp.moveaxis(out, 0, axis)
 
 
+@functools.lru_cache(maxsize=None)
+def _mul_combine(ctx: FieldCtx):
+    # a STABLE callable per ctx: a fresh lambda per call makes eager
+    # lax.scan/associative_scan retrace+recompile EVERY invocation
+    # (measured: eager prefix_mul_mont at 2^18 cost 72-83 s/call on the
+    # tunneled TPU, bench_results/r4_probe.log); with a cached closure
+    # the traced program is reused
+    return lambda x, y: mont_mul(x, y, ctx)
+
+
 def prefix_mul_mont(a, ctx: FieldCtx, axis=0, reverse=False):
     """Inclusive prefix products (Montgomery), compile-bounded."""
-    return blocked_scan(a, lambda x, y: mont_mul(x, y, ctx),
+    return blocked_scan(a, _mul_combine(ctx),
                         ctx.one_mont_limbs, axis=axis, reverse=reverse)
 
 

@@ -205,11 +205,27 @@ def prefix_products(x):
     return dev.prefix_mul_mont(x, FR, axis=0)
 
 
-def powers_of(scalar_mont, n: int):
-    """[1, s, s^2, ..., s^(n-1)] as (n, 16) Montgomery limbs."""
+def _powers_body(scalar_mont, n: int):
     base = jnp.broadcast_to(scalar_mont, (n, 16))
     base = base.at[0].set(const(1))
     return prefix_products(base)
+
+
+@functools.lru_cache(maxsize=None)
+def _powers_jit(n: int):
+    return jax.jit(functools.partial(_powers_body, n=n))
+
+
+def powers_of(scalar_mont, n: int):
+    """[1, s, s^2, ..., s^(n-1)] as (n, 16) Montgomery limbs.
+
+    ONE jitted program per size: the tunneled backend charges
+    ~0.35-0.4 s PER DISPATCH (bench_results/r4_probe.log — a bare
+    mont_mul and a fully-jitted batch inversion both cost ~0.4 s while
+    this function, previously an eager scan soup of dozens of
+    dispatches, cost 72 s at 2^18).  Round 4/5 were rebuilt around this
+    fact: every multi-op helper below is a single jit."""
+    return _powers_jit(n)(scalar_mont)
 
 
 def tree_sum(x):
@@ -237,6 +253,56 @@ def poly_eval_dev(coeffs, zeta_mont):
 
 def batch_inv(x):
     return dev.batch_inv_mont(x, FR, axis=0)
+
+
+@functools.lru_cache(maxsize=None)
+def _ev_many_jit(k: int, n: int):
+    @jax.jit
+    def run(stack, pows):            # (k, n, 16), (>=n, 16)
+        x = mm(stack, pows[None, :n])
+        m = n
+        while m > 1:                 # tree_sum along axis 1
+            half = m // 2
+            s = ad(x[:, :half], x[:, half:2 * half])
+            if m % 2:
+                s = jnp.concatenate([s, x[:, 2 * half:]], axis=1)
+                m = half + 1
+            else:
+                m = half
+            x = s
+        return x[:, 0]
+    return run
+
+
+def ev_many(polys, pows):
+    """Evaluate k polynomials at the point whose power ladder is
+    `pows`, as ONE jitted program (dispatch-latency note in
+    powers_of)."""
+    stack = jnp.stack(polys)
+    return list(_ev_many_jit(len(polys), stack.shape[1])(stack, pows))
+
+
+@functools.lru_cache(maxsize=None)
+def _lincomb_jit(k: int):
+    @jax.jit
+    def run(stack, scals):           # (k, n, 16), (k, 16)
+        prods = mm(stack, scals[:, None, :])
+        acc = prods[0]
+        for i in range(1, k):
+            acc = ad(acc, prods[i])
+        return acc
+    return run
+
+
+def lincomb(consts_i, polys):
+    """sum_i consts_i[i] * polys[i] (host int constants, device
+    polynomials) as ONE jitted program — replaces the eager mm/ad
+    chains of the linearization, quotient recombination, and
+    aggregate-open folds (each eager op costs a ~0.4 s dispatch on the
+    tunneled backend)."""
+    stack = jnp.stack(polys)
+    scals = jnp.asarray(np.stack([_const(v) for v in consts_i]))
+    return _lincomb_jit(len(polys))(stack, scals)
 
 
 # ---------------------------------------------------------------------------
@@ -427,20 +493,28 @@ def quotient_phase_dev(wire_ph, z_ph, pi_ph, sel_ph, sigma_ph, xpts,
     return mm(total, jnp.broadcast_to(zh_inv_c, (m, 16)))
 
 
-def ruffini_dev(coeffs, z_mont, z_inv_mont, value_mont):
-    """(p(X) - p(z)) / (X - z) for (n,16) Montgomery coeffs.
-    b_i = z^{-i} * sum_{j>=i} a_j z^j  (suffix-sum formulation)."""
+def _ruffini_body(coeffs, z_mont, z_inv_mont, value_mont):
     n = coeffs.shape[0]
     p = coeffs.at[0].set(sb(coeffs[0], value_mont))
-    zp = powers_of(z_mont, n)
+    zp = _powers_body(z_mont, n)
     cj = mm(p, zp)
     suffix = dev.blocked_scan(cj, lambda a, b: ad(a, b),
                               np.zeros(16, np.uint32), axis=0,
                               reverse=True)
-    zip_ = powers_of(z_inv_mont, n)
+    zip_ = _powers_body(z_inv_mont, n)
     b = mm(suffix, zip_)
     # quotient has degree n-2: b_0..b_{n-2} live at positions 1..n-1
     return b[1:]
+
+
+_ruffini_jit = jax.jit(_ruffini_body)
+
+
+def ruffini_dev(coeffs, z_mont, z_inv_mont, value_mont):
+    """(p(X) - p(z)) / (X - z) for (n,16) Montgomery coeffs.
+    b_i = z^{-i} * sum_{j>=i} a_j z^j  (suffix-sum formulation).
+    One jitted program (dispatch-latency note in powers_of)."""
+    return _ruffini_jit(coeffs, z_mont, z_inv_mont, value_mont)
 
 
 def _blind_commit(cm, highs, srs, n: int):
@@ -736,19 +810,19 @@ def prove_device(composer, pk, srs, label=None, dpk: DevicePK = None,
                                          inverse=True))
         else:
             t_inv = [_intt(t, log_n) for t in t_phase]
-        c_phase = [mm(t_inv[i],
-                      dpk.phase_pows(i, inverse=True, n_phases=n_phases))
-                   for i in range(n_phases)]
+        # one batched multiply for all phases' s_i^-j unscaling, then
+        # each chunk's inverse-Vandermonde row as one jitted lincomb
+        # (the old eager per-phase mm/ad chain was ~30 dispatches at
+        # ~0.4 s each on the tunneled backend)
+        inv_pows = jnp.stack([
+            dpk.phase_pows(i, inverse=True, n_phases=n_phases)
+            for i in range(n_phases)])
+        c_phase = list(mm(jnp.stack(t_inv), inv_pows))
         # t_{mn+k} from the phase coefficient streams: inverse
         # Vandermonde in u_i = s_i^n; with blinding only chunks 0..4
         # are nonzero (deg t = 4n+6), the rest are dropped
-        chunks = []
-        for mth in range(n_chunks):
-            acc = mm(const(vinv[mth][0], (n,)), c_phase[0])
-            for i in range(1, n_phases):
-                acc = ad(acc, mm(const(vinv[mth][i], (n,)),
-                                 c_phase[i]))
-            chunks.append(acc)
+        chunks = [lincomb(vinv[mth][:n_phases], c_phase)
+                  for mth in range(n_chunks)]
         chunk_comms = commit_many_fn(chunks)
         t_labels = (L.T_1, L.T_2, L.T_3, L.T_4) if blinds is None \
             else (L.T_1, L.T_2, L.T_3, L.T_4, L.T_5)
@@ -764,17 +838,18 @@ def prove_device(composer, pk, srs, label=None, dpk: DevicePK = None,
     with met.timed("r4_evals"):
         zeta_pows = powers_of(zeta, n)
         zw_pows = powers_of(zw, n)
-        ev = {}
-        for wname, cname in (("a", "a"), ("b", "b"), ("c", "c"),
-                             ("d", "d")):
-            ev[cname] = _ev(wire_coeffs[wname], zeta_pows)
-            if cname != "c":   # c is opened only at zeta (dusk shape)
-                ev[cname + "_next"] = _ev(wire_coeffs[wname], zw_pows)
-        for j, nm in enumerate(("sigma1", "sigma2", "sigma3")):
-            ev[nm] = _ev(dpk.sigma_coeffs[j], zeta_pows)
-        for nm in ("q_arith", "q_c", "q_l", "q_r"):
-            ev[nm] = _ev(dpk.sel_coeffs[nm], zeta_pows)
-        ev["z_shifted"] = _ev(z_coeffs, zw_pows)
+        # all 13 openings as TWO jitted batched-eval programs (one per
+        # point); c is opened only at zeta (dusk shape)
+        zeta_names = ("a", "b", "c", "d", "sigma1", "sigma2", "sigma3",
+                      "q_arith", "q_c", "q_l", "q_r")
+        zeta_polys = [wire_coeffs[w] for w in "abcd"] \
+            + list(dpk.sigma_coeffs[:3]) \
+            + [dpk.sel_coeffs[nm] for nm in ("q_arith", "q_c",
+                                             "q_l", "q_r")]
+        zw_names = ("a_next", "b_next", "d_next", "z_shifted")
+        zw_polys = [wire_coeffs[w] for w in "abd"] + [z_coeffs]
+        ev = dict(zip(zeta_names, ev_many(zeta_polys, zeta_pows)))
+        ev.update(zip(zw_names, ev_many(zw_polys, zw_pows)))
         # ONE device->host pull for all evaluations: each from_dev is a
         # full tunnel round-trip, and there are ~16 of them
         names = list(ev)
@@ -802,14 +877,12 @@ def prove_device(composer, pk, srs, label=None, dpk: DevicePK = None,
 
         co = host.linearization_coefficients(
             ev_i, zeta_i, beta_i, gamma_i, alpha_i, ch_i, dom)
-        r_coeffs = jnp.zeros((n, 16), jnp.uint32)
-        for name in ("q_m", "q_l", "q_r", "q_o", "q_4", "q_c",
-                     "q_range", "q_logic", "q_fixed", "q_vgadd"):
-            r_coeffs = ad(r_coeffs, mm(const(co[name], (n,)),
-                                       dpk.sel_coeffs[name]))
-        r_coeffs = ad(r_coeffs, mm(const(co["z"], (n,)), z_coeffs))
-        r_coeffs = ad(r_coeffs, mm(const(co["sigma4"], (n,)),
-                                   dpk.sigma_coeffs[3]))
+        _lin_names = ("q_m", "q_l", "q_r", "q_o", "q_4", "q_c",
+                      "q_range", "q_logic", "q_fixed", "q_vgadd")
+        r_coeffs = lincomb(
+            [co[nm] for nm in _lin_names] + [co["z"], co["sigma4"]],
+            [dpk.sel_coeffs[nm] for nm in _lin_names]
+            + [z_coeffs, dpk.sigma_coeffs[3]])
         ev_i["r"] = from_dev(_ev(r_coeffs, zeta_pows))[0]
         if blinds is not None:
             # r inherits z's high coefficients scaled by co["z"]
@@ -825,11 +898,8 @@ def prove_device(composer, pk, srs, label=None, dpk: DevicePK = None,
     # ---------------- round 5: aggregate openings ----------------
     with met.timed("r5_openings"):
         zn = pow(zeta_i, n, R_MOD)
-        t_flat = jnp.zeros((n, 16), jnp.uint32)
-        zp = 1
-        for ck in chunks:
-            t_flat = ad(t_flat, mm(const(zp, (n,)), ck))
-            zp = zp * zn % R_MOD
+        t_flat = lincomb([pow(zn, k, R_MOD) for k in range(len(chunks))],
+                         chunks)
         agg_zeta = [
             (t_flat, t_eval), (r_coeffs, ev_i["r"]),
             (wire_coeffs["a"], ev_i["a"]), (wire_coeffs["b"], ev_i["b"]),
@@ -875,20 +945,19 @@ def prove_device(composer, pk, srs, label=None, dpk: DevicePK = None,
 
 
 def _ev(coeffs, pows):
-    return tree_sum(mm(coeffs, pows[: coeffs.shape[0]]))
+    return _ev_many_jit(1, coeffs.shape[0])(coeffs[None], pows)[0]
 
 
 def _aggregate_open(poly_value_pairs, v_i: int, point_i: int):
     """Fold (poly, value) pairs with powers of v, subtract the folded
-    value, divide by (X - point); returns quotient coeffs (device)."""
-    n = poly_value_pairs[0][0].shape[0]
-    agg = jnp.zeros((n, 16), jnp.uint32)
-    agg_val = 0
-    vp = 1
-    for coeffs, value in poly_value_pairs:
-        agg = ad(agg, mm(const(vp, (n,)), coeffs))
-        agg_val = (agg_val + vp * value) % R_MOD
-        vp = vp * v_i % R_MOD
+    value, divide by (X - point); returns quotient coeffs (device).
+    The fold is one jitted lincomb + one jitted Ruffini (dispatch-
+    latency note in powers_of)."""
+    k = len(poly_value_pairs)
+    vps = [pow(v_i, j, R_MOD) for j in range(k)]
+    agg = lincomb(vps, [c for c, _ in poly_value_pairs])
+    agg_val = sum(vp * value for vp, (_, value)
+                  in zip(vps, poly_value_pairs)) % R_MOD
     z_inv = pow(point_i, -1, R_MOD)
     return ruffini_dev(agg, to_dev_scalar(point_i),
                        to_dev_scalar(z_inv), to_dev_scalar(agg_val))
@@ -905,16 +974,14 @@ def _aggregate_open_blinded(triples, v_i: int, point_i: int, n: int):
         inverse-power vector on device).
     Returns (device (n,16) quotient low part, (b_n, b_{n+1}) host
     highs for the commitment correction)."""
-    agg = jnp.zeros((n, 16), jnp.uint32)
+    vps = [pow(v_i, j, R_MOD) for j in range(len(triples))]
+    agg = lincomb(vps, [c for c, _, _ in triples])
     agg_val = 0
-    vp = 1
     hi = [0, 0, 0]
-    for coeffs, value, highs in triples:
-        agg = ad(agg, mm(const(vp, (n,)), coeffs))
+    for vp, (_, value, highs) in zip(vps, triples):
         agg_val = (agg_val + vp * value) % R_MOD
         for k, h in enumerate(highs):
             hi[k] = (hi[k] + vp * h) % R_MOD
-        vp = vp * v_i % R_MOD
     z = point_i
     z_inv = pow(z, -1, R_MOD)
     zpn = pow(z, n, R_MOD)
