@@ -274,12 +274,25 @@ def _ev_many_jit(k: int, n: int):
     return run
 
 
+#: max polynomials per batched-eval program.  The tunneled TPU worker
+#: deterministically rejects the k=11 2^18 program with
+#: RESOURCE_EXHAUSTED while the identical program runs standalone and
+#: 25 GB of buffers allocate fine (prove18_r3d/e/f + probes) — a
+#: worker-side per-program limit.  Chunking bounds the program size at
+#: ~1 extra dispatch (~0.4 s) per chunk.
+_EV_CHUNK = int(_os.environ.get("TPU_PLONK_EV_CHUNK", "4"))
+
+
 def ev_many(polys, pows):
     """Evaluate k polynomials at the point whose power ladder is
-    `pows`, as ONE jitted program (dispatch-latency note in
-    powers_of)."""
-    stack = jnp.stack(polys)
-    return list(_ev_many_jit(len(polys), stack.shape[1])(stack, pows))
+    `pows`, as ceil(k/_EV_CHUNK) jitted programs (dispatch-latency
+    note in powers_of)."""
+    out = []
+    for lo in range(0, len(polys), _EV_CHUNK):
+        sub = polys[lo:lo + _EV_CHUNK]
+        stack = jnp.stack(sub)
+        out.extend(_ev_many_jit(len(sub), stack.shape[1])(stack, pows))
+    return out
 
 
 @functools.lru_cache(maxsize=None)
@@ -375,9 +388,13 @@ class DevicePK:
         self._phase_xl1 = {}
         # selector/sigma phase NTTs are circuit-static: cache them on
         # first prove (60 of the ~100 per-prove transforms) when the
-        # footprint allows — 15 sel + 4 sigma arrays x 4 phases x 64 B/n
-        # ~= 3.8 GB at n=2^20, too much at 2^22.
-        self.cache_phases = n <= (1 << 20)
+        # footprint allows.  r3 re-tune: with the fused NTT pipeline a
+        # batched phase transform costs ~30 ms at 2^18, while the cache
+        # holds 76 n-sized arrays (1.2 GB at 2^18, 4.8 GB at 2^20) —
+        # enough to tip the shared tunnel worker into
+        # RESOURCE_EXHAUSTED in round 4 (prove18_r3d sync-debug).
+        # Cache only small circuits where HBM is plentiful.
+        self.cache_phases = n <= (1 << 16)
         self.phase_static = None
 
         # --- 8-phase tables (ZK variant: deg(t) = 4n+6 needs the 8n
@@ -385,7 +402,7 @@ class DevicePK:
         self.phase8_built = False
         # 8-phase static cache doubles the 4-phase footprint
         # (~7.7 KB/row), so it gets a lower size gate
-        self.cache_phases8 = n <= (1 << 19)
+        self.cache_phases8 = n <= (1 << 15)
         self.phase8_static = None
 
     def build_phase8(self):
@@ -673,6 +690,7 @@ def prove_device(composer, pk, srs, label=None, dpk: DevicePK = None,
             _prefetch_round3()
             wire_comms = commit_many_fn(
                 [wire_coeffs[w] for w in "abcd"])
+        _dbg("r1 wire commits")
         if blinds is not None:
             wire_comms = [_blind_commit(cm, wire_high[w], srs, n)
                           for w, cm in zip("abcd", wire_comms)]
@@ -691,6 +709,7 @@ def prove_device(composer, pk, srs, label=None, dpk: DevicePK = None,
     with met.timed("r2_grand_product"):
         z_H, closure = grand_product_dev(
             wires_H, dpk.sigma_H, dpk.domain_elems, beta, gamma, log_n)
+        _dbg("r2 grand product", z_H)
         z_coeffs = _intt(z_H, log_n)
         if blinds is not None:
             z_high = tuple(blinds[8:11])
@@ -823,6 +842,11 @@ def prove_device(composer, pk, srs, label=None, dpk: DevicePK = None,
         # are nonzero (deg t = 4n+6), the rest are dropped
         chunks = [lincomb(vinv[mth][:n_phases], c_phase)
                   for mth in range(n_chunks)]
+        # the prefetched wire/PI phase tables (20 n-sized arrays) are
+        # dead after the phase loop: drop them before the commits and
+        # rounds 4/5 allocate (HBM hygiene on the shared tunnel worker)
+        prefetched_r3.clear()
+        _dbg("r3 chunks", chunks[0])
         chunk_comms = commit_many_fn(chunks)
         t_labels = (L.T_1, L.T_2, L.T_3, L.T_4) if blinds is None \
             else (L.T_1, L.T_2, L.T_3, L.T_4, L.T_5)
@@ -837,7 +861,9 @@ def prove_device(composer, pk, srs, label=None, dpk: DevicePK = None,
     # ---------------- round 4: evaluations + linearization ----------
     with met.timed("r4_evals"):
         zeta_pows = powers_of(zeta, n)
+        _dbg("r4 zeta_pows", zeta_pows)
         zw_pows = powers_of(zw, n)
+        _dbg("r4 zw_pows", zw_pows)
         # all 13 openings as TWO jitted batched-eval programs (one per
         # point); c is opened only at zeta (dusk shape)
         zeta_names = ("a", "b", "c", "d", "sigma1", "sigma2", "sigma3",
@@ -849,6 +875,7 @@ def prove_device(composer, pk, srs, label=None, dpk: DevicePK = None,
         zw_names = ("a_next", "b_next", "d_next", "z_shifted")
         zw_polys = [wire_coeffs[w] for w in "abd"] + [z_coeffs]
         ev = dict(zip(zeta_names, ev_many(zeta_polys, zeta_pows)))
+        _dbg("r4 zeta evals", ev["a"])
         ev.update(zip(zw_names, ev_many(zw_polys, zw_pows)))
         # ONE device->host pull for all evaluations: each from_dev is a
         # full tunnel round-trip, and there are ~16 of them
@@ -942,6 +969,23 @@ def prove_device(composer, pk, srs, label=None, dpk: DevicePK = None,
               "sigma1", "sigma2", "sigma3",
               "q_arith", "q_c", "q_l", "q_r", "z_shifted", "r")}
     return Proof(comm, evals)
+
+
+_SYNC_DEBUG = _os.environ.get("TPU_PLONK_SYNC_DEBUG", "") not in ("", "0")
+
+
+def _dbg(name, arr=None):
+    """TPU_PLONK_SYNC_DEBUG=1: force a host sync after each prover
+    step and print progress — JAX async dispatch surfaces device
+    errors at the NEXT sync point, which makes crash tracebacks point
+    at innocent code (an OOM inside round 3 reports in round 4's
+    ev_many).  Zero cost when off."""
+    if _SYNC_DEBUG:
+        import time
+        if arr is not None:
+            np.asarray(jax.tree_util.tree_leaves(arr)[0]).reshape(-1)[:1]
+        print(f"[sync-debug {time.time() % 10000:.1f}] {name} ok",
+              flush=True)
 
 
 def _ev(coeffs, pows):
