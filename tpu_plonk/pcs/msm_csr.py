@@ -372,6 +372,33 @@ def _check_affine(points_packed):
             "(pcs.srs_device._normalize_packed)")
 
 
+_tbl_cache = []    # [(weakref(points_packed), tbl)], small FIFO
+
+
+def _fused_tbl(points_packed):
+    """The fused kernel's (48, N) transposed x|y table, cached per
+    point-table object: rebuilding it per commit churned a ~200 MB
+    contiguous allocation 11+ times per proof, feeding the tunnel
+    worker's allocator fragmentation (prove20_r3* RESOURCE_EXHAUSTED
+    saga)."""
+    import weakref
+    for ref, tbl in _tbl_cache:
+        if ref() is points_packed:
+            return tbl
+    tbl = jnp.concatenate(
+        [points_packed[:, 0, :].T, points_packed[:, 1, :].T], axis=0)
+    try:
+        _tbl_cache.append((weakref.ref(points_packed), tbl))
+    except TypeError:
+        return tbl
+    while len(_tbl_cache) > 4 or any(
+            r() is None for r, _ in _tbl_cache):
+        _tbl_cache[:] = [(r, t) for r, t in _tbl_cache
+                         if r() is not None][-4:]
+        break
+    return tbl
+
+
 def window_sums_fused(points_packed, l1, l2, c: int, interpret=False):
     """window_sums via the fused CSR-accumulate kernel
     (curves/pallas_g1.accumulate_csr): the whole list walk of each pass
@@ -384,8 +411,7 @@ def window_sums_fused(points_packed, l1, l2, c: int, interpret=False):
     per-step paths (tests/test_msm_device.py)."""
     from ..curves import pallas_g1 as plg
     _check_affine(points_packed)
-    tbl = jnp.concatenate(
-        [points_packed[:, 0, :].T, points_packed[:, 1, :].T], axis=0)
+    tbl = _fused_tbl(points_packed)
     rx, ry, rz = plg.accumulate_csr(tbl, l1, affine=True,
                                     interpret=interpret)
     ix, iy, iz = dg1.identity(())

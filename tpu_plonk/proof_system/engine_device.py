@@ -743,18 +743,28 @@ def prove_device(composer, pk, srs, label=None, dpk: DevicePK = None,
 
         from ..cs.composer import SELECTOR_NAMES
 
-        def phase_ntt_many(polys, i, n_phases=4):
-            """All of a phase's forward transforms as ONE batched NTT
+        def phase_ntt_many(polys, i, n_phases=4, keep_raw=None):
+            """All of a phase's forward transforms as batched NTTs
             (single-device; the mesh path keeps per-poly sharded
             transforms).  The phase-coset scale s_i^j is passed to
             ntt_many, which folds it into the MXU DFT/twiddle constants
-            — no explicit powers multiply or extra HBM pass."""
+            — no explicit powers multiply or extra HBM pass.  Batches
+            are capped (TPU_PLONK_NTT_BATCH): the 25-poly four-step
+            program at 2^20 crashed the remote compile helper
+            (prove20_r3.log, HTTP 500 subprocess exit 1)."""
             if mesh is not None:
                 pows = dpk.phase_pows(i, n_phases=n_phases)
                 return [_ntt(mm(p, pows), log_n) for p in polys]
             s = dpk.phase_s[i] if n_phases == 4 else dpk.phase8_s[i]
-            return list(nttmod.ntt_many(jnp.stack(polys), log_n,
-                                        scale=s))
+            cap = int(_os.environ.get("TPU_PLONK_NTT_BATCH", "4"))
+            out = []
+            for lo in range(0, len(polys), cap):
+                res = nttmod.ntt_many(
+                    jnp.stack(polys[lo:lo + cap]), log_n, scale=s)
+                if keep_raw is not None:
+                    keep_raw.append(res)   # parent buffers, for _free
+                out.extend(res)
+            return out
 
         n_phases = 4 if blinds is None else 8
         if blinds is not None:
@@ -793,11 +803,14 @@ def prove_device(composer, pk, srs, label=None, dpk: DevicePK = None,
             else:
                 dyn = [wire_coeffs[w] for w in "abcd"] \
                     + [z_coeffs, pi_coeffs]
+                phase_raw = []
                 if static_tables is not None:
-                    out = phase_ntt_many(dyn, i, n_phases)
+                    out = phase_ntt_many(dyn, i, n_phases,
+                                         keep_raw=phase_raw)
                     sel_ph, sigma_ph = static_tables[i]
                 else:
-                    out = phase_ntt_many(dyn + static_polys, i, n_phases)
+                    out = phase_ntt_many(dyn + static_polys, i, n_phases,
+                                         keep_raw=phase_raw)
                     sel_ph = dict(zip(SELECTOR_NAMES, out[6:6 + n_sel]))
                     sigma_ph = out[6 + n_sel:]
                 wire_ph = dict(zip("abcd", out[:4]))
@@ -824,10 +837,21 @@ def prove_device(composer, pk, srs, label=None, dpk: DevicePK = None,
             t_phase.append(_quot(
                 wire_ph, z_ph, pi_ph, sel_ph, sigma_ph, xpts, alpha, ch,
                 to_dev_scalar(zh_inv_ph[i]), l1_vec))
+            _dbg(f"r3 phase {i}", t_phase[-1])
+            if mesh is None and static_tables is None:
+                # sync the phase result, then explicitly reclaim the
+                # ~1.7 GB of per-phase transforms — including the
+                # stacked ntt_many parents, whose buffers the
+                # unstacked children keep alive (see _free)
+                _sync1(t_phase[-1])
+                _free(z_ph, pi_ph, *wire_ph.values(),
+                      *sel_ph.values(), *sigma_ph, *phase_raw)
         if mesh is None:
-            t_inv = list(nttmod.ntt_many(jnp.stack(t_phase), log_n,
-                                         inverse=True))
+            t_inv_raw = nttmod.ntt_many(jnp.stack(t_phase), log_n,
+                                        inverse=True)
+            t_inv = list(t_inv_raw)
         else:
+            t_inv_raw = None
             t_inv = [_intt(t, log_n) for t in t_phase]
         # one batched multiply for all phases' s_i^-j unscaling, then
         # each chunk's inverse-Vandermonde row as one jitted lincomb
@@ -836,7 +860,8 @@ def prove_device(composer, pk, srs, label=None, dpk: DevicePK = None,
         inv_pows = jnp.stack([
             dpk.phase_pows(i, inverse=True, n_phases=n_phases)
             for i in range(n_phases)])
-        c_phase = list(mm(jnp.stack(t_inv), inv_pows))
+        c_raw = mm(jnp.stack(t_inv), inv_pows)
+        c_phase = list(c_raw)
         # t_{mn+k} from the phase coefficient streams: inverse
         # Vandermonde in u_i = s_i^n; with blinding only chunks 0..4
         # are nonzero (deg t = 4n+6), the rest are dropped
@@ -846,6 +871,10 @@ def prove_device(composer, pk, srs, label=None, dpk: DevicePK = None,
         # dead after the phase loop: drop them before the commits and
         # rounds 4/5 allocate (HBM hygiene on the shared tunnel worker)
         prefetched_r3.clear()
+        if mesh is None and static_tables is None:
+            _sync1(chunks[-1])
+            _free(*t_phase, *t_inv, *c_phase, t_inv_raw, c_raw,
+                  inv_pows)
         _dbg("r3 chunks", chunks[0])
         chunk_comms = commit_many_fn(chunks)
         t_labels = (L.T_1, L.T_2, L.T_3, L.T_4) if blinds is None \
@@ -986,6 +1015,26 @@ def _dbg(name, arr=None):
             np.asarray(jax.tree_util.tree_leaves(arr)[0]).reshape(-1)[:1]
         print(f"[sync-debug {time.time() % 10000:.1f}] {name} ok",
               flush=True)
+
+
+def _sync1(arr):
+    """Block until `arr` is computed (pull one element)."""
+    np.asarray(arr.reshape(-1)[:1])
+
+
+def _free(*arrays):
+    """Explicitly delete device buffers that are provably dead.  The
+    tunneled worker reclaims freed buffers LAZILY: at 2^20 the quotient
+    loop's ~1.7 GB/phase of garbage accumulated until phase 1's
+    dispatches hit RESOURCE_EXHAUSTED even though every Python
+    reference had been dropped (prove20_r3c sync-debug).  delete() is
+    the explicit reclaim.  Callers must sync the consuming computation
+    first."""
+    for a in arrays:
+        try:
+            a.delete()
+        except Exception:  # noqa: BLE001 — already deleted / not owned
+            pass
 
 
 def _ev(coeffs, pows):
