@@ -184,16 +184,21 @@ def _tunnel_alive(timeout: float = 5.0) -> bool:
     # A TCP connect is NOT enough: a dead tunnel still accepts the
     # local connection and then never answers (observed: curl exit 28,
     # http_code 000, while create_connection succeeded).  Require an
-    # actual HTTP response within the timeout.
+    # actual HTTP response within the timeout.  Retry a few times with
+    # growing timeouts: one transient probe failure made the round-3
+    # driver bench replay stale data while the chip was actually fine
+    # (bench_r3_fresh.log).
     import urllib.request
-    try:
-        with urllib.request.urlopen("http://127.0.0.1:8113/",
-                                    timeout=timeout):
-            return True
-    except urllib.error.HTTPError:
-        return True  # any HTTP status = the far side is answering
-    except OSError:
-        return False
+    for attempt in range(3):
+        try:
+            with urllib.request.urlopen("http://127.0.0.1:8113/",
+                                        timeout=timeout * (attempt + 1)):
+                return True
+        except urllib.error.HTTPError:
+            return True  # any HTTP status = the far side is answering
+        except OSError:
+            time.sleep(10)
+    return False
 
 
 def _merge_scale_results(extra: dict) -> None:
