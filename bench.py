@@ -118,6 +118,41 @@ def bench_msm_pipelined(log_n: int, k: int = 4, c: int = 13):
     return k * n / total
 
 
+def bench_msm_devcsr(log_n: int, k: int = 4, c: int = 13):
+    """Transfer-free streaming commits (round 4, pcs/csr_device): the
+    coefficients already live on device (the prover engine produced
+    them), the CSR bucket lists are built ON device, and only 5.7 KB of
+    window sums per polynomial crosses the tunnel.  This is the
+    production commit shape; returns steady points/s over a k-poly
+    stream."""
+    from tpu_plonk.curves import g1
+    from tpu_plonk.pcs import msm_csr, csr_device
+
+    n = 1 << log_n
+    base = [g1.mul(g1.GEN, j + 1) for j in range(64)]
+    pts = msm_csr.pack_points([base[i % 64] for i in range(n)])
+    rng = np.random.default_rng(17)
+    canons = []
+    for _ in range(k):
+        canon = rng.integers(0, 1 << 16, size=(n, 16), dtype=np.uint32)
+        canon[:, 15] &= 0x7FFF
+        canons.append(jax.device_put(jnp.asarray(canon)))
+    jax.block_until_ready(canons[-1])
+    chunk = csr_device.default_chunk_device(n, c)
+    # warm (compile)
+    s, mu, mt, (m2u, m2t) = csr_device.window_sums_device(
+        pts, canons[0], c, chunk)
+    assert int(mu) <= m2u and int(mt) <= m2t, "devcsr m2 overflow"
+    _force(s)
+    t0 = time.time()
+    pend = [csr_device.window_sums_device(pts, cd, c, chunk, m2u, m2t)
+            for cd in canons]
+    for s, _, _, _ in pend:
+        _force(s)
+    total = time.time() - t0
+    return k * n / total
+
+
 def bench_prove():
     """End-to-end prove+verify wall-clock at 2^10 gates (host oracle
     engine — deterministic, no device compile risk)."""
@@ -340,11 +375,19 @@ def main():
     try:
         pps_pipe = bench_msm_pipelined(18)
         extra["msm_2^18_pipelined_pts_per_s"] = round(pps_pipe, 0)
-        # the pipelined stream is the production shape (the prover
-        # commits 11+ polys back-to-back) — report it as the headline
         pps = pps_pipe
     except Exception as e:  # noqa: BLE001
         extra["msm_pipelined_error"] = type(e).__name__
+
+    try:
+        pps_dc = bench_msm_devcsr(18)
+        extra["msm_2^18_devcsr_pts_per_s"] = round(pps_dc, 0)
+        # the device-CSR stream is the production commit shape (round
+        # 4: the prover's coefficients never leave the device) — it is
+        # the headline
+        pps = pps_dc
+    except Exception as e:  # noqa: BLE001
+        extra["msm_devcsr_error"] = type(e).__name__
 
     try:
         dprove_s, dprove_first = bench_device_prove(14)

@@ -1,34 +1,101 @@
 """KZG commitments on the TPU: SRS G1 powers resident on device,
 polynomial coefficients arrive as Montgomery limb arrays straight from
-the device prover engine; the host builds the chunked-CSR digit lists
-(pcs/msm_csr.py) and only the 48-byte commitment leaves for the
-transcript (SURVEY.md §3.2 "commit" hot spots)."""
+the device prover engine, the chunked-CSR digit lists are built ON
+DEVICE (pcs/csr_device.py — round 4; the round-2/3 host builder pulled
+~67 MB of scalars and pushed ~100 MB of lists per 2^20 commit through
+a ~2-14 MB/s tunnel), and only the 5.7 KB window sums leave for the
+transcript (SURVEY.md §3.2 "commit" hot spots).  TPU_PLONK_MSM_DEVCSR=0
+restores the host builder (also the automatic fallback on adversarial
+bucket skew)."""
+
+import os as _os
 
 import numpy as np
+import jax
+import jax.numpy as jnp
 
 from ..fields import device as dev
 from . import msm_csr
+from . import csr_device
+
+
+def _use_devcsr() -> bool:
+    return _os.environ.get("TPU_PLONK_MSM_DEVCSR", "1") not in ("", "0")
 
 
 class DeviceCommitter:
     """Bind a trimmed SRS to the device once; `commit` maps Montgomery
     coefficient arrays to affine G1 commitments.  Window width c is
     fixed per committer so every commit in a proof reuses one compiled
-    MSM pipeline (shape-stable CSR via pad_windows + fixed point count).
+    MSM pipeline (static CSR shapes: fixed point count + fixed
+    chunk/m2 on the device path, pad_windows on the host path).
     """
 
-    def __init__(self, srs, max_len: int, c: int = 12):
+    def __init__(self, srs, max_len: int, c: int = 12, bits: int = 255):
+        """bits bounds the scalars (always 255 in production; CPU
+        interpret tests pass less to keep the unrolled walk grids —
+        and so XLA CPU compile time — small)."""
         if max_len > len(srs.powers_g1):
             raise ValueError("SRS too small for committed length")
+        self._bind(msm_csr.pack_points(srs.powers_g1[:max_len]),
+                   max_len, c, bits)
+
+    def _bind(self, points_packed, max_len: int, c: int, bits: int):
+        """Shared init for SRS-backed and already-packed committers
+        (pcs/srs_device.PackedCommitter)."""
         self.c = c
-        self.points = msm_csr.pack_points(srs.powers_g1[:max_len])
+        self.bits = bits
+        self.points = points_packed
         self.max_len = max_len
-        self.n_windows = msm_csr.signed_window_count(c)
+        self.n_windows = msm_csr.signed_window_count(c, bits)
+        self.chunk = csr_device.default_chunk_device(max_len, c, bits)
+        self.m2u = csr_device.default_m2_uniform(max_len, c, self.chunk)
+        self.m2t = csr_device.default_m2_top(max_len, c, self.chunk,
+                                             bits)
+
+    # -- device-CSR path ---------------------------------------------------
+
+    def _sums_device(self, coeffs_mont):
+        """Dispatch one commit's window sums fully on device; returns
+        (canonical_sums, max_u, max_t, (m2u, m2t)) device arrays
+        (async), at the committer's CURRENT level-2 depths."""
+        canon = dev.from_mont(coeffs_mont, dev.FR)
+        n = canon.shape[0]
+        if n < self.max_len:
+            canon = jnp.concatenate([
+                jnp.asarray(canon),
+                jnp.zeros((self.max_len - n, canon.shape[1]),
+                          jnp.asarray(canon).dtype)], axis=0)
+        return csr_device.window_sums_device(
+            self.points, canon, self.c, self.chunk, self.m2u, self.m2t,
+            self.bits)
+
+    def _finish_device(self, pulled_sums, mu, mt, coeffs_mont):
+        """Validate the static level-2 depths; on (astronomically rare)
+        skew overflow deepen PERSISTENTLY and retry — later commits then
+        skip the undersized program.  Falling back to the host path is
+        never needed for correctness."""
+        while mu > self.m2u or mt > self.m2t:
+            if mt >= (1 << 30):
+                raise ValueError("commit: non-canonical scalar limbs "
+                                 "(>= 2^255) reached the device MSM")
+            self.m2u = max(self.m2u, -(-int(mu) // 16) * 16)
+            self.m2t = max(self.m2t, -(-int(mt) // 16) * 16)
+            sums_d, mud, mtd, _ = self._sums_device(coeffs_mont)
+            pulled_sums, mu, mt = np.asarray(sums_d), int(mud), int(mtd)
+        return msm_csr.fold_windows_host(
+            msm_csr._canon_sums_to_host(np.asarray(pulled_sums)), self.c)
+
+    # -- public API --------------------------------------------------------
 
     def commit(self, coeffs_mont):
         n = coeffs_mont.shape[0]
         if n > self.max_len:
             raise ValueError("polynomial exceeds committed SRS")
+        if _use_devcsr():
+            sums_d, mud, mtd, _ = self._sums_device(coeffs_mont)
+            return self._finish_device(np.asarray(sums_d), int(mud),
+                                       int(mtd), coeffs_mont)
         canon = np.asarray(dev.from_mont(coeffs_mont, dev.FR))
         # zero-pad to the committed length: zero digits vanish from the
         # CSR lists, and a single point-array shape means every commit
@@ -39,10 +106,23 @@ class DeviceCommitter:
         return msm_csr.fold_windows_host(msm_csr.sums_to_host(s), self.c)
 
     def commit_many(self, coeffs_list, prefetch_cb=None):
-        """Pipelined batch commit (host CSR build overlapped with the
-        device MSM of the previous polynomial); prefetch_cb may enqueue
-        later-round device work into the idle window (msm_csr
-        docstring)."""
+        """Pipelined batch commit.  Device-CSR path: every polynomial's
+        whole MSM (digit recode, sort-based CSR, fused list walk) is
+        dispatched as device work back-to-back — the only host step is
+        one stacked 5.7 KB/poly window-sums pull at the end.  Host
+        path: CSR build overlapped with the device MSM of the previous
+        polynomial.  prefetch_cb may enqueue later-round device work
+        (msm_csr docstring)."""
+        if _use_devcsr():
+            pend = [self._sums_device(cf) for cf in coeffs_list]
+            if prefetch_cb is not None:
+                prefetch_cb()
+            stacked = np.asarray(jnp.stack([p[0] for p in pend]))
+            mus = np.asarray(jnp.stack([p[1] for p in pend]))
+            mts = np.asarray(jnp.stack([p[2] for p in pend]))
+            return [self._finish_device(stacked[i], int(mus[i]),
+                                        int(mts[i]), coeffs_list[i])
+                    for i in range(len(pend))]
         return msm_csr.commit_many_packed(
             self.points, coeffs_list, self.c, self.n_windows,
             self.max_len, prefetch_cb=prefetch_cb)

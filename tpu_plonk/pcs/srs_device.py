@@ -30,6 +30,7 @@ from ..curves import g1
 from ..curves import device_g1 as dg1
 from ..fields import device as dev
 from . import msm_csr
+from . import commit_device
 
 _CACHE_DIR = os.path.join(os.path.dirname(__file__), "..", "..", ".cache")
 
@@ -156,31 +157,11 @@ def to_affine(packed, start: int, count: int):
         (sub[:, 0], sub[:, 1], sub[:, 2]))
 
 
-class PackedCommitter:
+class PackedCommitter(commit_device.DeviceCommitter):
     """DeviceCommitter over an already-packed (N+1, 3, 24) point array
-    (e.g. straight from device_srs_points) — no host SRS detour."""
+    (e.g. straight from device_srs_points) — no host SRS detour.
+    Inherits both commit paths (device-CSR default, host-CSR via
+    TPU_PLONK_MSM_DEVCSR=0)."""
 
-    def __init__(self, packed, c: int = 13):
-        self.points = packed
-        self.max_len = packed.shape[0] - 1
-        self.c = c
-        self.n_windows = msm_csr.signed_window_count(c)
-
-    def commit(self, coeffs_mont):
-        n = coeffs_mont.shape[0]
-        if n > self.max_len:
-            raise ValueError("polynomial exceeds committed SRS")
-        canon = np.asarray(dev.from_mont(coeffs_mont, dev.FR))
-        canon = np.pad(canon, ((0, self.max_len - n), (0, 0)))
-        l1, l2 = msm_csr.csr_from_limbs(canon, self.c, self.n_windows)
-        s = msm_csr.window_sums(self.points, l1, l2, self.c)
-        return msm_csr.fold_windows_host(msm_csr.sums_to_host(s), self.c)
-
-    def commit_many(self, coeffs_list, prefetch_cb=None):
-        """Pipelined batch commit (host CSR build overlapped with the
-        device MSM of the previous polynomial); prefetch_cb may enqueue
-        later-round device work into the idle window (msm_csr
-        docstring)."""
-        return msm_csr.commit_many_packed(
-            self.points, coeffs_list, self.c, self.n_windows,
-            self.max_len, prefetch_cb=prefetch_cb)
+    def __init__(self, packed, c: int = 13, bits: int = 255):
+        self._bind(packed, packed.shape[0] - 1, c, bits)
