@@ -364,6 +364,10 @@ def main():
     pps16, dev16, host16, devs16, first16 = bench_msm(16)
     extra["msm_2^16_e2e_s"] = round(host16 + devs16, 3)
     extra["msm_2^16_compile_s"] = round(first16, 1)
+    # split recorded since r4: the r3 run regressed 2^16 e2e (1.17 s vs
+    # 0.54 s in r2) and the aggregate number can't localize it
+    extra["msm_2^16_host_csr_s"] = round(host16, 3)
+    extra["msm_2^16_device_s"] = round(devs16, 3)
 
     pps, dev_pps, host_s, dev_s, first_s = bench_msm(18)
     extra["msm_2^18_host_csr_s"] = round(host_s, 3)

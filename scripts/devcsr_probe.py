@@ -38,6 +38,23 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
 def main():
     log_n = int(sys.argv[1]) if len(sys.argv) > 1 else 18
     full = "--full" in sys.argv
+
+    if "--tiles" in sys.argv:
+        # sweep the Pallas point-add lane tile (read at import ->
+        # fresh interpreter per width) at the default (c, chunk); the
+        # accumulate grid is sequential per core, so wider tiles
+        # amortize per-step overhead until VMEM pressure bites
+        import subprocess
+        for tile in (256, 512, 1024):
+            env = dict(os.environ)
+            env["TPU_PLONK_G1_TILE"] = str(tile)
+            args = [sys.executable, os.path.abspath(__file__),
+                    str(log_n), f"--tag=tile{tile}"]
+            subprocess.run(args, env=env, timeout=7200)
+        return
+
+    tag = next((a.split("=", 1)[1] for a in sys.argv
+                if a.startswith("--tag=")), "")
     n = 1 << log_n
 
     from tpu_plonk.curves import g1
@@ -86,15 +103,16 @@ def main():
                           n / (host_build_s + push_s + ref_walk_s))}),
           flush=True)
 
-    if full:
+    if tag:
+        grid = [(13, csr_device.default_chunk_device(n, 13))]
+    elif full:
         grid = []
         for c in (12, 13, 14):
             dflt = csr_device.default_chunk_device(n, c)
             for chunk in sorted({16, 32, 64, dflt}):
                 grid.append((c, chunk))
     else:
-        c = 13 if log_n < 20 else 14
-        grid = [(c, csr_device.default_chunk_device(n, c)), (13, 32),
+        grid = [(13, csr_device.default_chunk_device(n, 13)), (13, 32),
                 (13, 64)]
 
     for c, chunk in grid:
@@ -119,7 +137,7 @@ def main():
             got = msm_csr.fold_windows_host(
                 msm_csr._canon_sums_to_host(np.asarray(sums)), c)
             ok = bool(got == ref_pt)
-        row = {"log_n": log_n, "c": c, "chunk": chunk,
+        row = {"log_n": log_n, "c": c, "chunk": chunk, "tag": tag,
                "m2u": m2u, "m2t": m2t,
                "max_u": muv, "max_t": mtv,
                "compile_s": round(compile_s, 1),

@@ -3,7 +3,13 @@
 The device build need not reproduce the host CSR's row layout — only
 the bucket decomposition.  Correctness contract: identical affine MSM
 results (commitment bytes), checked against the pure-host wNAF oracle
-and the host-CSR device pipeline."""
+and the host-CSR device pipeline.
+
+The kernel-touching checks run in a FRESH subprocess
+(tests/csr_device_worker.py): interpret-mode Pallas unrolls every grid
+step into the XLA graph, and those large compiles accumulate into the
+known long-lived-process XLA CPU SIGABRT (conftest_subproc
+docstring)."""
 
 import random
 
@@ -72,52 +78,9 @@ def test_csr_device_bucket_decomposition():
                 assert got == want, (c, w, b)
 
 
-def test_msm_device_matches_oracle():
-    # interpret-mode Pallas UNROLLS every grid step into the XLA graph
-    # and each point-add body costs ~17 s of XLA CPU compile (CLAUDE.md
-    # rule 2), so the test uses bits=40 scalars -> W=6 windows and
-    # one-step walk grids.  Full-width (255-bit) digit parity is
-    # covered by the digits test above; full-width end-to-end runs on
-    # the chip (scripts/devcsr_probe.py, oracle_ok).
-    n, bits = 33, 40
-    pts = [g1.mul(g1.GEN, rng.randrange(1, R_MOD)) for _ in range(n)]
-    scalars = ([rng.randrange(1 << bits) for _ in range(n - 2)]
-               + [0, (1 << bits) - 1])
-    packed = msm_csr.pack_points(pts)
-    canon = jnp.asarray(_canon(scalars))
-    got = csr_device.msm_device(packed, canon, 8, bits=bits,
-                                interpret=True)
-    want = hostmsm.msm(pts, scalars)
-    assert got == want
-
-
-def test_msm_device_skew_retry():
-    """All-equal digits concentrate one bucket per window: m2 overflow
-    must be detected and retried, never silently truncated."""
-    n = 40
-    pts = [g1.mul(g1.GEN, k + 2) for k in range(n)]
-    scalars = [5] * n                      # every window-0 digit = 5
-    packed = msm_csr.pack_points(pts)
-    canon = jnp.asarray(_canon(scalars))
-    got = csr_device.msm_device(packed, canon, 8, chunk=16, bits=16,
-                                interpret=True)
-    assert got == hostmsm.msm(pts, scalars)
-
-
-def test_committer_device_path_matches_host_path(monkeypatch):
-    from tpu_plonk.pcs import srs as srs_mod
-    from tpu_plonk.pcs.commit_device import DeviceCommitter
-    from tpu_plonk.fields import device as dev
-
-    srs = srs_mod.cached_setup(64)
-    com = DeviceCommitter(srs, 64, c=8, bits=24)
-    coeffs = [rng.randrange(1 << 24) for _ in range(40)]
-    mont = dev.to_mont(jnp.asarray(_canon(coeffs)), dev.FR)
-
-    monkeypatch.setenv("TPU_PLONK_MSM_DEVCSR", "1")
-    got = com.commit(mont)
-    got_many = com.commit_many([mont, mont])
-    monkeypatch.setenv("TPU_PLONK_MSM_DEVCSR", "0")
-    want = com.commit(mont)
-    assert got == want
-    assert got_many == [want, want]
+def test_csr_device_kernels_subprocess():
+    """Oracle MSM + skew retry + committer path parity, isolated (see
+    module docstring).  Scalars are bits-narrowed so each walk grid is
+    a handful of unrolled kernel bodies, not hundreds."""
+    from tests.conftest_subproc import run_isolated
+    run_isolated("tests.csr_device_worker", n_devices=1)

@@ -20,7 +20,15 @@ from . import csr_device
 
 
 def _use_devcsr() -> bool:
-    return _os.environ.get("TPU_PLONK_MSM_DEVCSR", "1") not in ("", "0")
+    """Tri-state default (CLAUDE.md r3 pattern): explicit env wins;
+    otherwise ON for real devices, OFF for CPU — the interpret-mode
+    walks there are slow and their unrolled grids are exactly the
+    many-large-compiles shape that segfaults long-lived XLA CPU
+    processes (tests opt in per-case with bits-narrowed scalars)."""
+    env = _os.environ.get("TPU_PLONK_MSM_DEVCSR")
+    if env is not None:
+        return env not in ("", "0")
+    return jax.default_backend() not in ("cpu",)
 
 
 class DeviceCommitter:

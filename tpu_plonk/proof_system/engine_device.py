@@ -394,7 +394,15 @@ class DevicePK:
         # enough to tip the shared tunnel worker into
         # RESOURCE_EXHAUSTED in round 4 (prove18_r3d sync-debug).
         # Cache only small circuits where HBM is plentiful.
-        self.cache_phases = n <= (1 << 16)
+        # TPU_PLONK_CACHE_PHASES overrides (tri-state): the r3 gate was
+        # tuned with the host-CSR MSM resident (~100 MB of pushed list
+        # buffers per commit); the r4 device-CSR path frees that, so
+        # larger sizes may fit again — measured, not assumed.
+        _cp = _os.environ.get("TPU_PLONK_CACHE_PHASES")
+        if _cp is not None:
+            self.cache_phases = _cp not in ("", "0")
+        else:
+            self.cache_phases = n <= (1 << 16)
         self.phase_static = None
 
         # --- 8-phase tables (ZK variant: deg(t) = 4n+6 needs the 8n
