@@ -55,6 +55,8 @@ def main():
 
     tag = next((a.split("=", 1)[1] for a in sys.argv
                 if a.startswith("--tag=")), "")
+    c_arg = next((int(a.split("=", 1)[1]) for a in sys.argv
+                  if a.startswith("--c=")), None)
     n = 1 << log_n
 
     from tpu_plonk.curves import g1
@@ -103,7 +105,13 @@ def main():
                           n / (host_build_s + push_s + ref_walk_s))}),
           flush=True)
 
-    if tag:
+    if c_arg is not None:
+        # single requested window width (e.g. the large-c points the
+        # round-3 sweep couldn't reach before the top-window split)
+        grid = [(c_arg, csr_device.default_chunk_device(n, c_arg))]
+        if not tag:
+            tag = f"c{c_arg}"
+    elif tag:
         grid = [(13, csr_device.default_chunk_device(n, 13))]
     elif full:
         grid = []
