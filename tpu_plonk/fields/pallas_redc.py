@@ -57,15 +57,21 @@ def const_mul_mxu(x, mat, n_out: int):
     (n_out, B) u32 16-bit-radix columns < 2^23 (pre-carry; same
     contract and identical column values as the VPU Comba)."""
     L, B = x.shape
-    lo = (x & jnp.uint32(0xFF)).astype(jnp.bfloat16)
-    hi = (x >> jnp.uint32(8)).astype(jnp.bfloat16)
+    # Mosaic has no u32->bf16 cast (r4 chip run: "Unsupported cast:
+    # uint32 -> bfloat16"); route u32 -> s32 -> f32 -> bf16 (exact:
+    # values < 2^8)
+    lo = ((x & jnp.uint32(0xFF)).astype(jnp.int32)
+          .astype(jnp.float32).astype(jnp.bfloat16))
+    hi = ((x >> jnp.uint32(8)).astype(jnp.int32)
+          .astype(jnp.float32).astype(jnp.bfloat16))
     zpad = jnp.zeros((KPAD - 2 * L, B), jnp.bfloat16)
     x8 = jnp.concatenate([lo, hi, zpad], axis=0)          # (KPAD, B)
     p = jax.lax.dot_general(
         mat.astype(jnp.bfloat16), x8,
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)               # (2*n_out, B)
-    p = p.astype(jnp.uint32)
+    # f32 -> s32 -> u32: Mosaic's float casts target signed ints only
+    p = p.astype(jnp.int32).astype(jnp.uint32)
     even, odd = p[:n_out], p[n_out:]
     alpha = odd & jnp.uint32(0xFF)
     beta = odd >> jnp.uint32(8)

@@ -184,8 +184,10 @@ def default_chunk_device(n: int, c: int, bits: int = 255) -> int:
     for chunk in (16, 32, 64, 128):
         m2u = default_m2_uniform(n, c, chunk)
         m2t = default_m2_top(n, c, chunk, bits)
+        # level-2 slots walk projective-projective adds (~1.5x the
+        # level-1 mixed add)
         cost = (W * (B * chunk + n)
-                + (W - 1) * B * m2u + B * m2t)
+                + 1.5 * ((W - 1) * B * m2u + top_b(c, B, bits) * m2t))
         if best_cost is None or cost < best_cost:
             best, best_cost = chunk, cost
     return best
@@ -213,13 +215,18 @@ def top_b(c: int, B: int = None, bits: int = 255) -> int:
 
 
 def default_m2_uniform(n: int, c: int, chunk: int) -> int:
-    """Static level-2 depth for the W-1 near-uniform windows: >= 4x the
-    mean per-bucket row count and >= mean + 8 rows — astronomically
-    above binomial tails; the runtime max check + committer retry
-    backstop adversarial skew (correctness never depends on this)."""
+    """Static level-2 depth for the W-1 near-uniform windows: >= 2x the
+    mean per-bucket row count and >= mean + 8 rows.  Level-2 rows are
+    walked sequentially whether occupied or not, so padding is pure
+    kernel time; 2x mean is still > 12 sigma above a Poisson bucket
+    load at prover scales (2^20, chunk 32: rows > 16 needs load > 512
+    vs mean 256), and the runtime max check + committer persistent-
+    deepen retry backstop adversarial skew — correctness never depends
+    on the distribution (round-4 chip data: max_u 11 at 2^20 / 7 at
+    2^18 vs the old 4x depths 32 / 16)."""
     B = 1 << (c - 1)
     mean_rows = max(1.0, n / B / chunk)
-    m2 = max(4.0 * mean_rows, mean_rows + 8.0)
+    m2 = max(2.0 * mean_rows, mean_rows + 8.0)
     return int(-(-m2 // 16) * 16)
 
 
