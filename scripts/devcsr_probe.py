@@ -77,33 +77,42 @@ def main():
         with open(out_path) as f:
             rows = json.load(f)
 
-    # reference: host-CSR path at the tuned round-3 config
-    c_ref = 13
-    chunk_ref = msm_csr.default_chunk(n, c_ref)
-    t0 = time.time()
-    l1, l2 = msm_csr.csr_from_limbs(canon, c_ref, chunk=chunk_ref)
-    host_build_s = time.time() - t0
-    t0 = time.time()
-    l1d, l2d = jax.device_put(l1), jax.device_put(l2)
-    jax.block_until_ready(l1d)
-    push_s = time.time() - t0
-    s = msm_csr.window_sums(pts, l1d, l2d, c_ref)
-    ref_pt = msm_csr.fold_windows_host(msm_csr.sums_to_host(s), c_ref)
-    times = []
-    for _ in range(3):
+    # reference: host-CSR path at the tuned round-3 config.  --noref
+    # skips it for pure tuning runs (it dominates probe wall time);
+    # oracle_ok is then reported as null.
+    ref_pt = None
+    if "--noref" in sys.argv:
+        c_ref = chunk_ref = None
+    else:
+        c_ref = 13
+        chunk_ref = msm_csr.default_chunk(n, c_ref)
+    if c_ref is not None:
         t0 = time.time()
+        l1, l2 = msm_csr.csr_from_limbs(canon, c_ref, chunk=chunk_ref)
+        host_build_s = time.time() - t0
+        t0 = time.time()
+        l1d, l2d = jax.device_put(l1), jax.device_put(l2)
+        jax.block_until_ready(l1d)
+        push_s = time.time() - t0
         s = msm_csr.window_sums(pts, l1d, l2d, c_ref)
-        np.asarray(s[..., :1])
-        times.append(time.time() - t0)
-    ref_walk_s = min(times)
-    print(json.dumps({"ref": True, "log_n": log_n, "c": c_ref,
-                      "chunk": chunk_ref,
-                      "host_build_s": round(host_build_s, 3),
-                      "push_s": round(push_s, 3),
-                      "walk_s": round(ref_walk_s, 4),
-                      "e2e_pts_per_s": round(
-                          n / (host_build_s + push_s + ref_walk_s))}),
-          flush=True)
+        ref_pt = msm_csr.fold_windows_host(msm_csr.sums_to_host(s),
+                                           c_ref)
+        times = []
+        for _ in range(3):
+            t0 = time.time()
+            s = msm_csr.window_sums(pts, l1d, l2d, c_ref)
+            np.asarray(s[..., :1])
+            times.append(time.time() - t0)
+        ref_walk_s = min(times)
+        print(json.dumps({"ref": True, "log_n": log_n, "c": c_ref,
+                          "chunk": chunk_ref,
+                          "host_build_s": round(host_build_s, 3),
+                          "push_s": round(push_s, 3),
+                          "walk_s": round(ref_walk_s, 4),
+                          "e2e_pts_per_s": round(
+                              n / (host_build_s + push_s
+                                   + ref_walk_s))}),
+              flush=True)
 
     if c_arg is not None:
         # single requested window width (e.g. the large-c points the
@@ -141,7 +150,7 @@ def main():
         dev_s = min(times)
         muv, mtv = int(mu), int(mt)
         ok = None
-        if muv <= m2u and mtv <= m2t:
+        if ref_pt is not None and muv <= m2u and mtv <= m2t:
             got = msm_csr.fold_windows_host(
                 msm_csr._canon_sums_to_host(np.asarray(sums)), c)
             ok = bool(got == ref_pt)

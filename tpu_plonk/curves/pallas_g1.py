@@ -49,9 +49,21 @@ L = 24          # Fp limbs
 import os as _os
 TILE = int(_os.environ.get("TPU_PLONK_G1_TILE", "256"))
 #: in-kernel multiply experiments (fields/pallas_redc.py docstring);
-#: read at import/trace time, bit-exact either way
-MXU = _os.environ.get("TPU_PLONK_PL_MXU", "0") not in ("", "0")
+#: read at trace time, bit-exact either way
+_MXU_ENV = _os.environ.get("TPU_PLONK_PL_MXU")
 MUL16 = _os.environ.get("TPU_PLONK_PL_MUL16", "0") not in ("", "0")
+
+
+@functools.lru_cache(maxsize=None)
+def _mxu() -> bool:
+    """Tri-state default (CLAUDE.md r3 pattern): explicit env wins;
+    otherwise the MXU-REDC multiply is ON for real devices — the r4
+    chip sweep measured the fused walk at 2^20 at 3.08 s vs 3.73 s
+    split-byte VPU (340k vs 281k pts/s), bit-exact — and OFF on CPU
+    (interpret tests keep the reference arithmetic)."""
+    if _MXU_ENV is not None:
+        return _MXU_ENV not in ("", "0")
+    return jax.default_backend() not in ("cpu",)
 
 _MOD = limbsmod.int_to_limbs(P_MOD, L)
 _NEG_INV = limbsmod.int_to_limbs(dev.FP.neg_inv, L)
@@ -164,7 +176,7 @@ def _comba_var(a, b, n_out):
 def _mont_mul(a, b):
     """Montgomery product on (L, B) u32 columns (in-kernel)."""
     t = _carry(_comba_var(a, b, 2 * L))
-    if MXU:
+    if _mxu():
         m = _carry(redc.const_mul_mxu(t[:L], _consts["ninv_mat"], L))
         mq = redc.const_mul_mxu(m, _consts["mod_mat"], 2 * L)
     else:
@@ -214,7 +226,7 @@ def _rcb_add(x1, y1, z1, x2, y2, z2):
 def _kernel(mod_ref, ninv_ref, *refs):
     _consts["mod"] = mod_ref[:]
     _consts["ninv"] = ninv_ref[:]
-    if MXU:
+    if _mxu():
         (ninv_mat_ref, mod_mat_ref, px, py, pz, qx, qy, qz, sgn,
          ox, oy, oz) = refs
         _consts["ninv_mat"] = ninv_mat_ref[:]
@@ -250,7 +262,7 @@ def _add_tiles(p, q, sgn, interpret=False):
     ninv_in = jnp.broadcast_to(
         jnp.asarray(_NEG_INV, jnp.uint32)[:, None], (L, TILE))
     extra_in, extra_specs = [], []
-    if MXU:
+    if _mxu():
         for mat in (redc.toeplitz_split(dev.FP.neg_inv, L, L),
                     redc.toeplitz_split(P_MOD, L, 2 * L)):
             extra_in.append(jnp.asarray(mat))
@@ -327,7 +339,7 @@ def _acc_kernel_factory(n_coords: int, affine: bool):
     def kernel(mod_ref, ninv_ref, one_ref, *refs):
         _consts["mod"] = mod_ref[:]
         _consts["ninv"] = ninv_ref[:]
-        if MXU:
+        if _mxu():
             ninv_mat_ref, mod_mat_ref, gref, iref, ox, oy, oz = refs
             _consts["ninv_mat"] = ninv_mat_ref[:]
             _consts["mod_mat"] = mod_mat_ref[:]
@@ -395,7 +407,7 @@ def _accumulate_csr_jit(table_t, idx, affine: bool, interpret=False):
     one_in = jnp.broadcast_to(
         jnp.asarray(_ONE, jnp.uint32)[:, None], (L, TILE))
     extra_in, extra_specs = [], []
-    if MXU:
+    if _mxu():
         for mat in (redc.toeplitz_split(dev.FP.neg_inv, L, L),
                     redc.toeplitz_split(P_MOD, L, 2 * L)):
             extra_in.append(jnp.asarray(mat))
