@@ -35,7 +35,12 @@ L = 16          # Fr limbs
 import os as _os
 TILE = int(_os.environ.get("TPU_PLONK_FR_TILE", "512"))
 #: in-kernel multiply experiments (fields/pallas_redc.py docstring);
-#: read at import/trace time, bit-exact either way
+#: read at import/trace time, bit-exact either way.  Unlike the G1
+#: walk kernel (pallas_g1._mxu, default ON for real devices), Fr keeps
+#: the VPU default: the elementwise Fr mul is HBM-bound, and the r4
+#: chip probe measured MXU-REDC as a slight loss here (transposed
+#: kernel 21.3 -> 22.8 ms at 2^18, 29.1 -> 30.4 ms at 2^22;
+#: bench_results/r4_frmul_mxu.log).
 MXU = _os.environ.get("TPU_PLONK_PL_MXU", "0") not in ("", "0")
 MUL16 = _os.environ.get("TPU_PLONK_PL_MUL16", "0") not in ("", "0")
 
