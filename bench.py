@@ -10,6 +10,7 @@ headline metric (msm points/s/chip = 15518, BENCH_r01.json).
 
 import json
 import os
+import random
 import time
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
@@ -149,6 +150,50 @@ def bench_msm_devcsr(log_n: int, k: int = 4, c: int = 13):
             for cd in canons]
     for s, _, _, _ in pend:
         _force(s)
+    total = time.time() - t0
+    return k * n / total
+
+
+def bench_msm_devcsr_batched(log_n: int, k: int = 4, c: int = 13):
+    """k-poly commit as ONE device program (csr_device._commit_sums_many
+    — the shape DeviceCommitter.commit_many now dispatches): batching
+    amortizes the tunnel's ~0.4 s per-dispatch charge and the walk
+    kernels' startup across the group.  Steady points/s."""
+    from tpu_plonk.curves import g1
+    from tpu_plonk.fields import device as dev
+    from tpu_plonk.pcs import msm_csr, csr_device
+
+    from tpu_plonk.params import R_MOD
+
+    n = 1 << log_n
+    base = [g1.mul(g1.GEN, j + 1) for j in range(64)]
+    pts = msm_csr.pack_points([base[i % 64] for i in range(n)])
+    # the committer consumes CANONICAL Fr elements (< r): a raw
+    # 255-bit sample mod-r-folds under the Montgomery roundtrip and
+    # doubles the low top-window digit loads — overflowing m2t sized
+    # for the canonical distribution (r4_bench2 AssertionError)
+    rng = random.Random(17)
+    canons = []
+    for _ in range(k):
+        buf = b"".join(rng.randrange(R_MOD).to_bytes(32, "little")
+                       for _ in range(n))
+        canons.append(np.frombuffer(buf, dtype="<u2").reshape(
+            n, 16).astype(np.uint32))
+    mont = jnp.stack([dev.to_mont(jnp.asarray(cn), dev.FR)
+                      for cn in canons])
+    jax.block_until_ready(mont)
+    chunk = csr_device.default_chunk_device(n, c)
+    m2u = csr_device.default_m2_uniform(n, c, chunk)
+    m2t = csr_device.default_m2_top(n, c, chunk)
+    tbl = msm_csr._fused_tbl(pts)
+    s, mu, mt = csr_device._commit_sums_many(tbl, mont, c, chunk,
+                                             m2u, m2t)
+    assert (np.asarray(mu) <= m2u).all() and (np.asarray(mt) <= m2t).all()
+    _force(s)                                   # warm (compile)
+    t0 = time.time()
+    s, mu, mt = csr_device._commit_sums_many(tbl, mont, c, chunk,
+                                             m2u, m2t)
+    _force(s)
     total = time.time() - t0
     return k * n / total
 
@@ -392,6 +437,15 @@ def main():
         pps = pps_dc
     except Exception as e:  # noqa: BLE001
         extra["msm_devcsr_error"] = type(e).__name__
+
+    try:
+        pps_db = bench_msm_devcsr_batched(18)
+        extra["msm_2^18_devcsr_batched_pts_per_s"] = round(pps_db, 0)
+        # one batched program per k-poly group is what the committer's
+        # commit_many dispatches since round 4 — production shape
+        pps = max(pps, pps_db)
+    except Exception as e:  # noqa: BLE001
+        extra["msm_devcsr_batched_error"] = type(e).__name__
 
     try:
         dprove_s, dprove_first = bench_device_prove(14)

@@ -55,15 +55,22 @@ def worker_main():
                                 interpret=True)
     assert got == hostmsm.msm(pts, scalars), "skew retry mismatch"
 
-    # --- committer device path == committer host path ---
+    # --- committer device path == committer host path; commit_many
+    # batches DISTINCT polys (cross-poly level-2 offset coverage) with
+    # an uneven tail group (3 polys at batch 2 -> k=2 and k=1
+    # programs of csr_device._commit_sums_many) ---
     srs = srs_mod.cached_setup(64)
     com = DeviceCommitter(srs, 64, c=8, bits=24)
-    coeffs = [rng.randrange(1 << 24) for _ in range(40)]
-    mont = dev.to_mont(jnp.asarray(canon_of(coeffs)), dev.FR)
+    monts = [dev.to_mont(jnp.asarray(canon_of(
+        [rng.randrange(1 << 24) for _ in range(40)])), dev.FR)
+        for _ in range(3)]
+    mont = monts[0]
     os.environ["TPU_PLONK_MSM_DEVCSR"] = "1"
+    os.environ["TPU_PLONK_COMMIT_BATCH"] = "2"
     got = com.commit(mont)
-    got_many = com.commit_many([mont, mont])
+    got_many = com.commit_many(monts)
     os.environ["TPU_PLONK_MSM_DEVCSR"] = "0"
-    want = com.commit(mont)
-    assert got == want, "committer device path != host path"
-    assert got_many == [want, want], "commit_many device != host"
+    del os.environ["TPU_PLONK_COMMIT_BATCH"]
+    want = [com.commit(m) for m in monts]
+    assert got == want[0], "committer device path != host path"
+    assert got_many == want, "commit_many device != host"

@@ -53,6 +53,7 @@ class DeviceCommitter:
         (pcs/srs_device.PackedCommitter)."""
         self.c = c
         self.bits = bits
+        msm_csr._check_affine(points_packed)
         self.points = points_packed
         self.max_len = max_len
         self.n_windows = msm_csr.signed_window_count(c, bits)
@@ -113,24 +114,57 @@ class DeviceCommitter:
         s = msm_csr.window_sums(self.points, l1, l2, self.c)
         return msm_csr.fold_windows_host(msm_csr.sums_to_host(s), self.c)
 
+    def _batch_k(self) -> int:
+        """Polys per batched device program.  Memory-bounded: the
+        batched walk keeps k * (l1 lists + per-row accumulators) live
+        in one program (~100 MB + ~220 MB per poly at 2^20), and rule
+        17c says big single programs get RESOURCE_EXHAUSTED long
+        before HBM runs out — cap the batch so a program stays under
+        ~1 GB of walk state.  TPU_PLONK_COMMIT_BATCH overrides."""
+        env = _os.environ.get("TPU_PLONK_COMMIT_BATCH")
+        if env:
+            return max(1, int(env))
+        return max(1, min(4, (1 << 21) // max(1, self.max_len)))
+
+    def _pad_mont(self, coeffs_mont):
+        n = coeffs_mont.shape[0]
+        if n < self.max_len:
+            a = jnp.asarray(coeffs_mont)
+            return jnp.concatenate([
+                a, jnp.zeros((self.max_len - n, a.shape[1]),
+                             a.dtype)], axis=0)
+        return jnp.asarray(coeffs_mont)
+
     def commit_many(self, coeffs_list, prefetch_cb=None):
-        """Pipelined batch commit.  Device-CSR path: every polynomial's
-        whole MSM (digit recode, sort-based CSR, fused list walk) is
-        dispatched as device work back-to-back — the only host step is
-        one stacked 5.7 KB/poly window-sums pull at the end.  Host
-        path: CSR build overlapped with the device MSM of the previous
+        """Pipelined batch commit.  Device-CSR path: polynomials are
+        grouped into batched programs (csr_device._commit_sums_many) of
+        k = _batch_k() — one device dispatch per GROUP instead of per
+        poly (the tunnel charges ~0.4 s per dispatch), and only one
+        stacked ~6 KB/poly window-sums pull at the end.  Host path:
+        CSR build overlapped with the device MSM of the previous
         polynomial.  prefetch_cb may enqueue later-round device work
         (msm_csr docstring)."""
         if _use_devcsr():
-            pend = [self._sums_device(cf) for cf in coeffs_list]
+            kb = self._batch_k()
+            pend = []          # (sums (k,W,3,24), max_u (k,), max_t (k,))
+            for s in range(0, len(coeffs_list), kb):
+                grp = coeffs_list[s:s + kb]
+                stack = jnp.stack([self._pad_mont(cf) for cf in grp])
+                pend.append(csr_device._commit_sums_many(
+                    msm_csr._fused_tbl(self.points), stack, self.c,
+                    self.chunk, self.m2u, self.m2t, self.bits,
+                    interpret=jax.default_backend() in ("cpu",)))
             if prefetch_cb is not None:
                 prefetch_cb()
-            stacked = np.asarray(jnp.stack([p[0] for p in pend]))
-            mus = np.asarray(jnp.stack([p[1] for p in pend]))
-            mts = np.asarray(jnp.stack([p[2] for p in pend]))
-            return [self._finish_device(stacked[i], int(mus[i]),
-                                        int(mts[i]), coeffs_list[i])
-                    for i in range(len(pend))]
+            out = []
+            for gi, (sums_d, mu_d, mt_d) in enumerate(pend):
+                sums = np.asarray(sums_d)
+                mus, mts = np.asarray(mu_d), np.asarray(mt_d)
+                for i in range(sums.shape[0]):
+                    out.append(self._finish_device(
+                        sums[i], int(mus[i]), int(mts[i]),
+                        coeffs_list[gi * kb + i]))
+            return out
         return msm_csr.commit_many_packed(
             self.points, coeffs_list, self.c, self.n_windows,
             self.max_len, prefetch_cb=prefetch_cb)

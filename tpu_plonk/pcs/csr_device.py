@@ -232,8 +232,22 @@ def default_m2_uniform(n: int, c: int, chunk: int) -> int:
 
 def default_m2_top(n: int, c: int, chunk: int, bits: int = 255) -> int:
     """Static level-2 depth for the top window: its load concentrates
-    on top_values(c) buckets (~n/that each), binomial margin on top."""
-    top_load = n / top_values(c, bits)
+    on the top digit's reachable values (~n/that each), binomial
+    margin on top.
+
+    Sizing uses the REAL scalar bound min(2^bits, r) — canonical Fr
+    scalars stop at r-1 ~ 2^254.86, so at c=13 the top digit reaches
+    only ~232 of top_values(c)=257 slots and the per-bucket load is
+    257/232 = 1.11x the 2^255-uniform estimate.  Sizing by 2^bits
+    alone left 1.25x-margin proves one silent deepen-retry away from
+    their first commit (the r4 batched-bench AssertionError was this,
+    amplified: mod-r-folded 255-bit inputs double the low top-digit
+    loads)."""
+    from ..params import R_MOD
+    W = msm_csr.signed_window_count(c, bits)
+    eff_max = min((1 << bits) - 1, R_MOD - 1)
+    top_count = (eff_max >> (c * (W - 1))) + 2
+    top_load = n / top_count
     rows = (1.25 * top_load + 4.0 * (top_load ** 0.5)) / chunk
     m2 = max(float(default_m2_uniform(n, c, chunk)), rows + 2.0)
     return int(-(-m2 // 16) * 16)
@@ -310,6 +324,87 @@ def window_sums_device(points_packed, canon, c: int, chunk: int = None,
     sums, max_u, max_t = _commit_sums(tbl, canon, c, chunk, m2u, m2t,
                                       bits, interpret=interpret)
     return sums, max_u, max_t, (m2u, m2t)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("c", "chunk", "m2u", "m2t",
+                                    "bits", "interpret"))
+def _commit_sums_many(tbl, mont_stack, c: int, chunk: int, m2u: int,
+                      m2t: int, bits: int = 255,
+                      interpret: bool = False):
+    """Batched k-polynomial commit in ONE device program: (k, N, 16)
+    Montgomery coeff stack -> (k, W, 3, 24) canonical window sums +
+    (k,) max_u / (k,) max_t.  The tunneled backend charges ~0.35-0.4 s
+    per dispatch (CLAUDE.md r3 item 16), so a prover round's 4-5
+    commits as one program saves ~1.5 s of pure dispatch latency over
+    the per-poly path — and the single walk's longer sequential grid
+    amortizes kernel startup besides.
+
+    Batching is pure concatenation against the SHARED point table:
+    level-1 rows of poly i append below poly i-1's (accumulate_csr
+    rows are independent), level-2 row ids shift by i*R1, and the
+    weighted window sums treat the batch as k*W independent windows.
+    Bit-exact per poly vs _commit_sums (tests/test_csr_device.py)."""
+    from ..curves import pallas_g1 as plg
+    from ..curves import device_g1 as dg1
+
+    k, N = mont_stack.shape[0], mont_stack.shape[1]
+    canon = dev.from_mont(mont_stack, dev.FR)
+    parts = [csr_device(canon[i], c, chunk, m2u, m2t, bits)
+             for i in range(k)]
+    R1 = parts[0][0].shape[0]
+    l1 = jnp.concatenate([p[0] for p in parts], axis=0)
+    max_u = jnp.stack([p[3] for p in parts])
+    max_t = jnp.stack([p[4] for p in parts])
+
+    rx, ry, rz = plg.accumulate_csr(tbl, l1, affine=True,
+                                    interpret=interpret)
+    ix, iy, iz = dg1.identity(())
+    tbl2 = jnp.concatenate([
+        jnp.concatenate([ix[:, None], rx], axis=1),
+        jnp.concatenate([iy[:, None], ry], axis=1),
+        jnp.concatenate([iz[:, None], rz], axis=1)], axis=0)
+
+    # level-2 ids: nonzero entries of poly i shift by i*R1 into the
+    # concatenated level-1 row space (0 stays the shared pad/identity)
+    def shift(a, i):
+        return jnp.where(a > 0, a + jnp.int32(i * R1), 0)
+
+    Wu, B, M2u = parts[0][1].shape
+    l2u = jnp.concatenate(
+        [shift(p[1], i) for i, p in enumerate(parts)], axis=0)
+    l2t = jnp.stack([shift(p[2], i) for i, p in enumerate(parts)])
+    Bt, M2t = l2t.shape[1:]
+    ux, uy, uz = plg.accumulate_csr(tbl2, l2u.reshape(k * Wu * B, M2u),
+                                    affine=False, interpret=interpret)
+    tx, ty, tz = plg.accumulate_csr(tbl2, l2t.reshape(k * Bt, M2t),
+                                    affine=False, interpret=interpret)
+    L = ux.shape[0]
+    pad = B - Bt
+    if pad:  # trimmed top buckets are identity by construction
+        tx = jnp.concatenate([tx.reshape(L, k, Bt),
+                              jnp.broadcast_to(ix[:, None, None],
+                                               (L, k, pad))], axis=2)
+        ty = jnp.concatenate([ty.reshape(L, k, Bt),
+                              jnp.broadcast_to(iy[:, None, None],
+                                               (L, k, pad))], axis=2)
+        tz = jnp.concatenate([tz.reshape(L, k, Bt),
+                              jnp.broadcast_to(iz[:, None, None],
+                                               (L, k, pad))], axis=2)
+    else:
+        tx, ty, tz = (t.reshape(L, k, B) for t in (tx, ty, tz))
+    bx = jnp.concatenate([ux.reshape(L, k, Wu * B), tx], axis=2)
+    by = jnp.concatenate([uy.reshape(L, k, Wu * B), ty], axis=2)
+    bz = jnp.concatenate([uz.reshape(L, k, Wu * B), tz], axis=2)
+    W = Wu + 1
+    buckets = jnp.transpose(jnp.stack([bx, by, bz]),
+                            (2, 3, 0, 1)).reshape(k * W, B, 3, 24)
+    if interpret or jax.default_backend() in ("cpu",):
+        sums = msm_csr._weighted_window_sums(buckets, c)
+    else:
+        sums = msm_csr._weighted_window_sums_pl(buckets, c)
+    return (dev.from_mont(sums, dev.FP).reshape(k, W, 3, 24),
+            max_u, max_t)
 
 
 def msm_device(points_packed, canon, c: int, chunk: int = None,

@@ -104,7 +104,10 @@ def device_srs_points(max_len: int,
     os.makedirs(_CACHE_DIR, exist_ok=True)
     path = os.path.join(_CACHE_DIR, f"srs_dev_{max_len}.npy")
     if os.path.exists(path):
+        import time as _time
+        t0 = _time.time()
         cached = np.load(path)
+        t1 = _time.time()
         if not _is_affine_packed(cached):
             # pre-r3 caches are projective: migrate once, in blocks
             # (a single 2^20 batch_inv graph is fine, but blocks keep
@@ -114,7 +117,15 @@ def device_srs_points(max_len: int,
                 for lo in range(0, cached.shape[0], block)]
             cached = np.concatenate(blocks, axis=0)
             np.save(path, cached)
-        return jnp.asarray(cached)
+        out = jnp.asarray(cached)
+        out.block_until_ready()
+        # the r4 2^18 run charged 322 s here on a 75 MB push — log the
+        # split so a slow-tunnel episode is distinguishable from a
+        # code regression (bench_results/r4_prove18_mxu.log)
+        print(f"srs cache: load {t1 - t0:.1f}s, device push "
+              f"{_time.time() - t1:.1f}s ({cached.nbytes >> 20} MB)",
+              flush=True)
+        return out
     tau = _tau(seed)
     scalars = np.empty(max_len, dtype=object)
     acc = 1

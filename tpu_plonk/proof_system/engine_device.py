@@ -318,6 +318,29 @@ def lincomb(consts_i, polys):
     return _lincomb_jit(len(polys))(stack, scals)
 
 
+@functools.lru_cache(maxsize=None)
+def _lincomb_many_jit(m: int, k: int):
+    @jax.jit
+    def run(stack, scals):           # (k, n, 16), (m, k, 16)
+        prods = mm(stack[None], scals[:, :, None, :])   # (m, k, n, 16)
+        acc = prods[:, 0]
+        for i in range(1, k):
+            acc = ad(acc, prods[:, i])
+        return acc
+    return run
+
+
+def lincomb_many(const_rows, polys):
+    """m independent linear combinations of the same poly stack as ONE
+    program (the quotient recombination's four inverse-Vandermonde
+    rows were four lincomb dispatches at ~0.4 s each)."""
+    stack = jnp.stack(polys)
+    scals = jnp.asarray(np.stack(
+        [np.stack([_const(v) for v in row]) for row in const_rows]))
+    return list(_lincomb_many_jit(len(const_rows), len(polys))(
+        stack, scals))
+
+
 # ---------------------------------------------------------------------------
 # device prover
 # ---------------------------------------------------------------------------
@@ -800,13 +823,25 @@ def prove_device(composer, pk, srs, label=None, dpk: DevicePK = None,
         n_chunks = 4 if blinds is None else 5
 
         t_phase = []
+        z_ph_all = None
+        if n_phases == 4 and all(i in prefetched_r3 for i in range(4)):
+            # wires + PI were transformed during round 1's commit
+            # window; only z — a round-2 product — still needs its four
+            # phase NTTs.  Batch them as ONE program: coset scaling
+            # s_i^j is an explicit Montgomery pre-multiply by the
+            # cached phase power ladders (bit-exact vs the folded
+            # in_scale constants — both compute NTT(z[j]*s_i^j) mod r),
+            # so four scale-specific dispatches become one (4, n)
+            # batched MXU transform.
+            zp = jnp.stack([dpk.phase_pows(i, n_phases=n_phases)
+                            for i in range(4)])
+            z_ph_all = nttmod.ntt_many(
+                mm(jnp.broadcast_to(z_coeffs[None], zp.shape), zp),
+                log_n)
         for i in range(n_phases):
-            if n_phases == 4 and i in prefetched_r3:
-                # wires + PI were transformed during round 1's commit
-                # window (cross-round prefetch above); only z — a
-                # round-2 product — still needs this phase's NTT
+            if z_ph_all is not None:
                 wire_ph, pi_ph = prefetched_r3[i]
-                z_ph = phase_ntt_many([z_coeffs], i, n_phases)[0]
+                z_ph = z_ph_all[i]
                 sel_ph, sigma_ph = static_tables[i]
             else:
                 dyn = [wire_coeffs[w] for w in "abcd"] \
@@ -873,8 +908,8 @@ def prove_device(composer, pk, srs, label=None, dpk: DevicePK = None,
         # t_{mn+k} from the phase coefficient streams: inverse
         # Vandermonde in u_i = s_i^n; with blinding only chunks 0..4
         # are nonzero (deg t = 4n+6), the rest are dropped
-        chunks = [lincomb(vinv[mth][:n_phases], c_phase)
-                  for mth in range(n_chunks)]
+        chunks = lincomb_many(
+            [vinv[mth][:n_phases] for mth in range(n_chunks)], c_phase)
         # the prefetched wire/PI phase tables (20 n-sized arrays) are
         # dead after the phase loop: drop them before the commits and
         # rounds 4/5 allocate (HBM hygiene on the shared tunnel worker)
