@@ -425,7 +425,12 @@ class DevicePK:
         if _cp is not None:
             self.cache_phases = _cp not in ("", "0")
         else:
-            self.cache_phases = n <= (1 << 16)
+            # 2^18 since r4: the device-CSR MSM freed the ~100 MB of
+            # per-commit pushed list buffers this gate was tuned
+            # around, and the 2^18 cache is ~1 GB (15 statics x 4
+            # phases x 16 MB) against 16 GB HBM.  2^20 (~4 GB + the
+            # 1.3 GB prefetch) stays opt-in until measured.
+            self.cache_phases = n <= (1 << 18)
         self.phase_static = None
 
         # --- 8-phase tables (ZK variant: deg(t) = 4n+6 needs the 8n
