@@ -165,50 +165,13 @@ def test_ntt_many_scale_small_route():
     assert back == coeffs
 
 
-def test_fused_digit_pipeline_matches_jnp():
-    """The fused Pallas digit pipeline (ntt_mxu_pl, interpret mode on
-    CPU) vs the jnp renorm/REDC path: full transforms bit-identical,
-    including a scale-folded case and the inverse direction."""
-    log_n, radix = 8, 16
-    n = 1 << log_n
-    coeffs = [rng.randrange(R_MOD) for _ in range(n)]
-    x = jnp.asarray(limbs.fr_to_limbs(
-        [c * FR_MONT_R % R_MOD for c in coeffs]))[None]
-    for inverse in (False, True):
-        for scale in (1, 7):
-            kw = ({"out_scale": scale} if inverse
-                  else {"in_scale": scale})
-            ref = ntt_mxu.ntt_mxu_batched(x, log_n, radix,
-                                          inverse=inverse,
-                                          use_pl=False, **kw)
-            got = ntt_mxu.ntt_mxu_batched(x, log_n, radix,
-                                          inverse=inverse,
-                                          use_pl=True, **kw)
-            assert np.array_equal(np.asarray(got), np.asarray(ref)), \
-                (inverse, scale)
-
-
-def test_fourstep_fused_pipeline(monkeypatch):
-    """ntt_4step with the fused digit pipeline enabled (the 2^20+
-    prover route) vs the jnp path — forward and inverse with folded
-    coset scales, bit-identical."""
-    from tpu_plonk.poly import ntt as nttmod
-    log_n = 8
-    n = 1 << log_n
-    coeffs = [rng.randrange(R_MOD) for _ in range(n)]
-    x = jnp.asarray(limbs.fr_to_limbs(
-        [c * FR_MONT_R % R_MOD for c in coeffs]))
-    g = Domain(n).coset_gen
-    ref_f = nttmod.ntt_4step(x, log_n, in_scale=g)
-    ref_i = nttmod.ntt_4step(ref_f, log_n, inverse=True,
-                             out_scale=pow(g, -1, R_MOD))
-    monkeypatch.setattr(ntt_mxu, "NTT_PALLAS", True)
-    got_f = nttmod.ntt_4step(x, log_n, in_scale=g)
-    got_i = nttmod.ntt_4step(got_f, log_n, inverse=True,
-                             out_scale=pow(g, -1, R_MOD))
-    assert np.array_equal(np.asarray(got_f), np.asarray(ref_f))
-    assert np.array_equal(np.asarray(got_i), np.asarray(ref_i))
-    assert np.array_equal(np.asarray(got_i), np.asarray(x))
+def test_fused_pipeline_subprocess():
+    """Fused Pallas digit pipeline vs the jnp path (batched MXU route
+    + the full ntt_4step prover route), isolated in a fresh process —
+    the r4 full-suite run aborted the long-lived pytest process in the
+    XLA CPU compiler right here (tests/ntt_pallas_worker.py)."""
+    from tests.conftest_subproc import run_isolated
+    run_isolated("tests.ntt_pallas_worker", n_devices=1)
 
 
 def test_renorm0_carry_chains():
