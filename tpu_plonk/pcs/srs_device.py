@@ -117,14 +117,17 @@ def device_srs_points(max_len: int,
                 for lo in range(0, cached.shape[0], block)]
             cached = np.concatenate(blocks, axis=0)
             np.save(path, cached)
-        out = jnp.asarray(cached)
+        # limbs are 16-bit values: cross the tunnel as u16 (half the
+        # bytes — the wire is the cost, 0.3-9 MB/s push measured in
+        # r4) and upcast on device
+        out = jnp.asarray(cached.astype(np.uint16)).astype(jnp.uint32)
         out.block_until_ready()
         # the r4 2^18 run charged 322 s here on a 75 MB push — log the
         # split so a slow-tunnel episode is distinguishable from a
         # code regression (bench_results/r4_prove18_mxu.log)
         print(f"srs cache: load {t1 - t0:.1f}s, device push "
-              f"{_time.time() - t1:.1f}s ({cached.nbytes >> 20} MB)",
-              flush=True)
+              f"{_time.time() - t1:.1f}s ({cached.nbytes >> 21} MB "
+              f"as u16)", flush=True)
         return out
     tau = _tau(seed)
     scalars = np.empty(max_len, dtype=object)

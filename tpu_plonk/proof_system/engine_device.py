@@ -46,11 +46,18 @@ _QUOT_PALLAS = _os.environ.get("TPU_PLONK_QUOT_PALLAS", "0") \
 
 def to_dev(values):
     """list of ints -> (len, 16) Montgomery limbs; already-device
-    arrays (the preprocess_device tables) pass through unchanged."""
+    arrays (the preprocess_device tables) pass through unchanged.
+
+    The push crosses the tunnel as uint16 (the limbs carry 16 bits
+    each) and upcasts on device: the 2^20 witness is 67 MB as u32 but
+    33 MB on the wire, and the wire is the cost (~9 MB/s push measured
+    mid-r4 — half of round 1's 15.7 s was this transfer)."""
     if isinstance(values, jnp.ndarray):
         return values
-    return jnp.asarray(limbs.ints_to_limbs(
-        [v % R_MOD * FR_MONT_R % R_MOD for v in values], 16))
+    buf = b"".join((v % R_MOD * FR_MONT_R % R_MOD).to_bytes(32, "little")
+                   for v in values)
+    u16 = np.frombuffer(buf, dtype="<u2").reshape(len(values), 16)
+    return jnp.asarray(u16).astype(jnp.uint32)
 
 
 def to_dev_scalar(v):

@@ -126,10 +126,12 @@ def preprocess_device_cached(composer, committer, cache_dir=None,
         if verbose:
             print(f"preprocess cache hit: {path}")
         z = np.load(path)
+        # push the u16 limbs as-is (half the tunnel bytes) and upcast
+        # on device — the wire is the cost (0.3-9 MB/s push, r4)
         sel_coeffs = {name: jnp.asarray(
-            z[f"sel_{name}"].astype(np.uint32))
+            z[f"sel_{name}"]).astype(jnp.uint32)
             for name in SELECTOR_NAMES}
-        sigma_coeffs = [jnp.asarray(z[f"sigma_{i}"].astype(np.uint32))
+        sigma_coeffs = [jnp.asarray(z[f"sigma_{i}"]).astype(jnp.uint32)
                         for i in range(4)]
         vk = VerifierKey.from_bytes(bytes(z["vk"].tobytes()))
         pk = ProverKey(n, Domain(n), Domain(4 * n), sel_coeffs, None,
