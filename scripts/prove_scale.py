@@ -86,7 +86,7 @@ def main():
     print("srs ready", flush=True)
     save_partial()
 
-    committer = srs_device.PackedCommitter(packed, c=13)
+    committer = srs_device.PackedCommitter(packed)
 
     t0 = time.time()
     pk, vk = preprocess_device_cached(cs, committer, verbose=True)

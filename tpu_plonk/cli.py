@@ -167,7 +167,7 @@ def cmd_cache_warm(cfg):
     packed = srs_device.device_srs_points(n + 8)
     srs_s = round(time.time() - t0, 1)
     t0 = time.time()
-    committer = srs_device.PackedCommitter(packed, c=13)
+    committer = srs_device.PackedCommitter(packed)
     pk, vk = preprocess_device_cached(cs, committer, verbose=True)
     pp_s = round(time.time() - t0, 1)
     t0 = time.time()

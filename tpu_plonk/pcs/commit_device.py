@@ -39,12 +39,16 @@ class DeviceCommitter:
     chunk/m2 on the device path, pad_windows on the host path).
     """
 
-    def __init__(self, srs, max_len: int, c: int = 12, bits: int = 255):
+    def __init__(self, srs, max_len: int, c: int = None,
+                 bits: int = 255):
         """bits bounds the scalars (always 255 in production; CPU
         interpret tests pass less to keep the unrolled walk grids —
-        and so XLA CPU compile time — small)."""
+        and so XLA CPU compile time — small).  c=None picks the
+        measured-best width for the size (csr_device.default_c)."""
         if max_len > len(srs.powers_g1):
             raise ValueError("SRS too small for committed length")
+        if c is None:
+            c = csr_device.default_c(max_len, bits)
         self._bind(msm_csr.pack_points(srs.powers_g1[:max_len]),
                    max_len, c, bits)
 

@@ -174,6 +174,22 @@ def csr_device(canon, c: int, chunk: int, m2u: int, m2t: int,
             max_u, max_t)
 
 
+def default_c(n: int, bits: int = 255) -> int:
+    """Measured-best window width for the device-CSR MSM by size
+    (chip data, r4): at 2^16 the sort/searchsorted CSR build scales
+    with W while the bucket tables stay cheap, so narrower windows
+    win (c=11: 296k pts/s vs c=13: 202k —
+    bench_results/r4_batched_probe.json); at prover scales the W*N
+    walk term dominates and c=13 is the measured optimum
+    (bench_results/r4_csweep_probe.json).  Narrow-bits test configs
+    keep windows few."""
+    if bits < 255:
+        return 8
+    if n <= (1 << 16):
+        return 11
+    return 13
+
+
 def default_chunk_device(n: int, c: int, bits: int = 255) -> int:
     """Static chunk minimizing walked level-1 slots W*(B*chunk + N)
     plus the split level-2 work (W-1)*B*m2u + B*m2t, in multiples of

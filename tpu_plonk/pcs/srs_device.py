@@ -177,5 +177,8 @@ class PackedCommitter(commit_device.DeviceCommitter):
     Inherits both commit paths (device-CSR default, host-CSR via
     TPU_PLONK_MSM_DEVCSR=0)."""
 
-    def __init__(self, packed, c: int = 13, bits: int = 255):
+    def __init__(self, packed, c: int = None, bits: int = 255):
+        if c is None:
+            from . import csr_device
+            c = csr_device.default_c(packed.shape[0] - 1, bits)
         self._bind(packed, packed.shape[0] - 1, c, bits)

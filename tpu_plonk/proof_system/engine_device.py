@@ -435,9 +435,21 @@ class DevicePK:
             # 2^18 since r4: the device-CSR MSM freed the ~100 MB of
             # per-commit pushed list buffers this gate was tuned
             # around, and the 2^18 cache is ~1 GB (15 statics x 4
-            # phases x 16 MB) against 16 GB HBM.  2^20 (~4 GB + the
-            # 1.3 GB prefetch) stays opt-in until measured.
+            # phases x 16 MB) against 16 GB HBM.  2^20 measured
+            # RESOURCE_EXHAUSTED at the quotient recombination
+            # (bench_results/r4_prove20_cachep.log) — the ~4 GB cache
+            # does not fit beside the phase working set.
             self.cache_phases = n <= (1 << 18)
+        # the round-1 PREFETCH (wire/PI phase tables + the batched z
+        # transform) is the cheap half (~20 n-sized arrays, 1.3 GB at
+        # 2^20) and is gated separately so 2^20 proves still overlap
+        # those transforms with round-1/2 host work even though the
+        # static cache above cannot fit
+        _pf = _os.environ.get("TPU_PLONK_PREFETCH_PHASES")
+        if _pf is not None:
+            self.prefetch_phases = _pf not in ("", "0")
+        else:
+            self.prefetch_phases = n <= (1 << 20)
         self.phase_static = None
 
         # --- 8-phase tables (ZK variant: deg(t) = 4n+6 needs the 8n
@@ -706,7 +718,7 @@ def prove_device(composer, pk, srs, label=None, dpk: DevicePK = None,
 
         def _prefetch_round3():
             if mesh is not None or blinds is not None \
-                    or not dpk.cache_phases:
+                    or not dpk.prefetch_phases:
                 return
             pi_vec = [0] * n
             for gi, val in composer.pi.items():
@@ -851,14 +863,23 @@ def prove_device(composer, pk, srs, label=None, dpk: DevicePK = None,
                 mm(jnp.broadcast_to(z_coeffs[None], zp.shape), zp),
                 log_n)
         for i in range(n_phases):
+            phase_raw = []
             if z_ph_all is not None:
                 wire_ph, pi_ph = prefetched_r3[i]
                 z_ph = z_ph_all[i]
-                sel_ph, sigma_ph = static_tables[i]
+                if static_tables is not None:
+                    sel_ph, sigma_ph = static_tables[i]
+                else:
+                    # prefetch without the static cache (2^20: the
+                    # 4 GB cache OOMs but the 1.3 GB prefetch fits) —
+                    # statics still stream per phase
+                    out = phase_ntt_many(static_polys, i, n_phases,
+                                         keep_raw=phase_raw)
+                    sel_ph = dict(zip(SELECTOR_NAMES, out[:n_sel]))
+                    sigma_ph = out[n_sel:]
             else:
                 dyn = [wire_coeffs[w] for w in "abcd"] \
                     + [z_coeffs, pi_coeffs]
-                phase_raw = []
                 if static_tables is not None:
                     out = phase_ntt_many(dyn, i, n_phases,
                                          keep_raw=phase_raw)
@@ -899,8 +920,16 @@ def prove_device(composer, pk, srs, label=None, dpk: DevicePK = None,
                 # stacked ntt_many parents, whose buffers the
                 # unstacked children keep alive (see _free)
                 _sync1(t_phase[-1])
-                _free(z_ph, pi_ph, *wire_ph.values(),
-                      *sel_ph.values(), *sigma_ph, *phase_raw)
+                if z_ph_all is not None:
+                    # prefetched wires/PI die with their phase too
+                    # (rule 17a: reclaim eagerly at 2^20); z_ph is a
+                    # view of the (4, n) z_ph_all, freed after the loop
+                    _free(pi_ph, *wire_ph.values(),
+                          *sel_ph.values(), *sigma_ph, *phase_raw)
+                    prefetched_r3.pop(i, None)
+                else:
+                    _free(z_ph, pi_ph, *wire_ph.values(),
+                          *sel_ph.values(), *sigma_ph, *phase_raw)
         if mesh is None:
             t_inv_raw = nttmod.ntt_many(jnp.stack(t_phase), log_n,
                                         inverse=True)
@@ -929,7 +958,7 @@ def prove_device(composer, pk, srs, label=None, dpk: DevicePK = None,
         if mesh is None and static_tables is None:
             _sync1(chunks[-1])
             _free(*t_phase, *t_inv, *c_phase, t_inv_raw, c_raw,
-                  inv_pows)
+                  inv_pows, z_ph_all)
         _dbg("r3 chunks", chunks[0])
         chunk_comms = commit_many_fn(chunks)
         t_labels = (L.T_1, L.T_2, L.T_3, L.T_4) if blinds is None \
