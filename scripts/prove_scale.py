@@ -4,6 +4,7 @@ SRS on device, preprocess on device (phased, no host NTTs), prove with
 the device engine + CSR MSM commits, verify with the host verifier.
 
 Usage:  python scripts/prove_scale.py [log_gates] [--poseidon]
+            [--blind] [--tag=NAME]
 Prints one JSON line with stage timings.
 """
 
@@ -43,6 +44,9 @@ def build_circuit(log_gates: int, poseidon: bool):
 def main():
     log_gates = int(sys.argv[1]) if len(sys.argv) > 1 else 18
     poseidon = "--poseidon" in sys.argv
+    # --blind: the ZK variant (seed-derived blinding, 8-phase quotient,
+    # 1088-byte proofs) — BASELINE has no scale datapoint for it
+    blind = b"prove-scale-blind-seed" if "--blind" in sys.argv else None
     tag = next((a.split("=", 1)[1] for a in sys.argv
                 if a.startswith("--tag=")), "")
 
@@ -54,6 +58,7 @@ def main():
     from tpu_plonk.proof_system.verifier import verify
 
     out = {"log_gates": log_gates, "poseidon": poseidon, "tag": tag,
+           "blind": blind is not None,
            "device": str(jax.devices()[0]),
            "flags": {k: v for k, v in os.environ.items()
                      if k.startswith("TPU_PLONK_")}}
@@ -102,7 +107,8 @@ def main():
     t0 = time.time()
     proof = prove_device(cs, pk, None, dpk=dpk,
                          commit_fn=committer.commit,
-                         commit_many_fn=committer.commit_many)
+                         commit_many_fn=committer.commit_many,
+                         blinding_seed=blind)
     out["prove_first_s"] = round(time.time() - t0, 1)
     print("prove first %.1fs" % out["prove_first_s"], flush=True)
     save_partial()
@@ -113,7 +119,7 @@ def main():
     proof = prove_device(cs, pk, None, dpk=dpk,
                          commit_fn=committer.commit,
                          commit_many_fn=committer.commit_many,
-                         metrics=met)
+                         metrics=met, blinding_seed=blind)
     out["prove_steady_s"] = round(time.time() - t0, 1)
     out["gates_per_s"] = round(n / out["prove_steady_s"], 0)
     out["rounds"] = {k: round(v, 2) for k, v in met.to_dict().items()}
