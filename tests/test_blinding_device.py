@@ -13,7 +13,7 @@ from tpu_plonk.proof_system.verifier import verify
 from tpu_plonk.proof_system.engine_device import prove_device
 
 
-def test_device_blinded_matches_host():
+def _build_cs():
     cs = Composer()
     a = cs.add_input(37)
     b = cs.add_input(21)
@@ -27,6 +27,11 @@ def test_device_blinded_matches_host():
     while cs.n_gates < 28:
         prev = cs.mul(1, prev, prev, 3)
     assert cs.check_satisfied()
+    return cs
+
+
+def test_device_blinded_matches_host():
+    cs = _build_cs()
     srs = srs_mod.cached_setup(cs.padded_size() + 8)
     pk, vk = preprocess(cs, srs)
 
@@ -53,3 +58,51 @@ def test_device_blinded_matches_host():
     assert second.to_bytes() == want.to_bytes()
     assert (prove_device(cs, pk, srs, dpk=dpk).to_bytes()
             == plain_host.to_bytes())
+
+
+def test_device_blinded_without_host_srs():
+    """The SCALE configuration: prove_device(dpk=..., srs=None) with a
+    DeviceCommitter commit_fn — exactly what crashed on-chip in round 4
+    (engine_device dereferenced srs.powers_g1 unconditionally;
+    bench_results/r4_prove18_blind.log, VERDICT r4 task 2).  The high
+    points [tau^(n+k)]G1 must come off the committer's packed table,
+    get cached on the DevicePK, and yield byte-identical proofs."""
+    import pytest
+    from tpu_plonk.pcs.commit_device import DeviceCommitter
+    from tpu_plonk.proof_system.engine_device import DevicePK
+
+    cs = _build_cs()
+    n = cs.padded_size()
+    srs = srs_mod.cached_setup(n + 8)
+    pk, vk = preprocess(cs, srs)
+    want = prove(cs, pk, srs, blinding_seed=b"dev-zk")
+
+    com = DeviceCommitter(srs, n + 8, c=4)
+    # the packed-table extraction matches the host SRS rows
+    assert com.high_g1(n) == tuple(srs.powers_g1[n:n + 3])
+
+    dpk = DevicePK(pk)
+    got = prove_device(cs, pk, None, dpk=dpk, commit_fn=com.commit,
+                       commit_many_fn=com.commit_many,
+                       blinding_seed=b"dev-zk")
+    assert got.to_bytes() == want.to_bytes()
+    assert dpk.high_g1 == tuple(srs.powers_g1[n:n + 3])
+    assert verify(got, vk, cs.pi, srs)
+    # steady-state call (scale script proves twice on one dpk)
+    again = prove_device(cs, pk, None, dpk=dpk, commit_fn=com.commit,
+                         commit_many_fn=com.commit_many,
+                         blinding_seed=b"dev-zk")
+    assert again.to_bytes() == want.to_bytes()
+
+    # a commit_fn with no committer behind it cannot supply the high
+    # points: fail fast with a clear message, not an AttributeError
+    with pytest.raises(ValueError, match="tau"):
+        prove_device(cs, pk, None, dpk=DevicePK(pk),
+                     commit_fn=lambda c: None, blinding_seed=b"x")
+    # ...unless the caller preloads them on the DevicePK
+    dpk2 = DevicePK(pk)
+    dpk2.high_g1 = tuple(srs.powers_g1[n:n + 3])
+    pre = prove_device(cs, pk, None, dpk=dpk2, commit_fn=com.commit,
+                       commit_many_fn=com.commit_many,
+                       blinding_seed=b"dev-zk")
+    assert pre.to_bytes() == want.to_bytes()

@@ -101,6 +101,22 @@ class DeviceCommitter:
 
     # -- public API --------------------------------------------------------
 
+    def high_g1(self, n: int, count: int = 3):
+        """[tau^(n+k)]G1 for k < count, as host affine points.
+
+        Pulled from the packed table (row i+1 holds [tau^i]G1; row 0
+        is the identity CSR pad).  Lets blinded proving run from a
+        cached DevicePK with NO host SRS — the scale path's
+        configuration, which crashed in round 4 when _blind_commit
+        reached for srs.powers_g1 (bench_results/r4_prove18_blind.log,
+        VERDICT r4 task 2)."""
+        if n + count > self.max_len:
+            raise ValueError("packed SRS too short for blinding highs")
+        from ..curves import device_g1 as dg1
+        sub = np.asarray(self.points[n + 1:n + 1 + count])
+        return tuple(dg1.points_from_device(
+            (sub[:, 0], sub[:, 1], sub[:, 2])))
+
     def commit(self, coeffs_mont):
         n = coeffs_mont.shape[0]
         if n > self.max_len:

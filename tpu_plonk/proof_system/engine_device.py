@@ -459,6 +459,9 @@ class DevicePK:
         # (~7.7 KB/row), so it gets a lower size gate
         self.cache_phases8 = n <= (1 << 15)
         self.phase8_static = None
+        # [tau^(n+k)]G1 k=0..2 for blinded commits when proving
+        # without the host SRS (filled by _resolve_high_g1)
+        self.high_g1 = None
 
     def build_phase8(self):
         """Phase tables for the blinded quotient: 8 interleaved size-n
@@ -589,17 +592,44 @@ def ruffini_dev(coeffs, z_mont, z_inv_mont, value_mont):
     return _ruffini_jit(coeffs, z_mont, z_inv_mont, value_mont)
 
 
-def _blind_commit(cm, highs, srs, n: int):
+def _blind_commit(cm, highs, high_pts):
     """Commitment correction for host-tracked high blinding coeffs:
     cm + sum_k highs[k] * [tau^(n+k)]G1 (a couple of host scalar-muls —
-    the device arrays stay n-sized; SURVEY §2.6 KZG linearity)."""
+    the device arrays stay n-sized; SURVEY §2.6 KZG linearity).
+    high_pts are the affine points [tau^(n+k)]G1, k=0..2 — from the
+    host SRS when present, else cached on the DevicePK / extracted
+    from the committer's packed device SRS (_resolve_high_g1)."""
     from ..curves import g1
     from ..pcs import msm as hostmsm
-    pairs = [(srs.powers_g1[n + k], h) for k, h in enumerate(highs) if h]
+    pairs = [(high_pts[k], h) for k, h in enumerate(highs) if h]
     if not pairs:
         return cm
     corr = hostmsm.msm_small(pairs)
     return g1.add(cm, corr) if cm is not None else corr
+
+
+def _resolve_high_g1(srs, dpk, commit_fn, n: int):
+    """The <=3 high SRS points [tau^(n+k)]G1 a blinded prove needs.
+
+    Priority: host SRS -> DevicePK cache -> the committer behind
+    commit_fn (DeviceCommitter.high_g1 pulls three rows of its packed
+    table).  The result is cached on the DevicePK so repeat proves
+    (and the scale script's first/steady pair) extract once.  Round-4
+    postmortem: the scale path passes srs=None and the old code
+    unconditionally dereferenced srs.powers_g1 (VERDICT r4 task 2)."""
+    if getattr(dpk, "high_g1", None) is not None:
+        return dpk.high_g1
+    if srs is not None:
+        pts = tuple(srs.powers_g1[n + k] for k in range(3))
+    else:
+        owner = getattr(commit_fn, "__self__", None)
+        if owner is None or not hasattr(owner, "high_g1"):
+            raise ValueError(
+                "blinded prove needs [tau^(n+k)]G1: pass srs, set "
+                "dpk.high_g1, or use a DeviceCommitter commit_fn")
+        pts = tuple(owner.high_g1(n))
+    dpk.high_g1 = pts
+    return pts
 
 
 def prove_device(composer, pk, srs, label=None, dpk: DevicePK = None,
@@ -676,6 +706,8 @@ def prove_device(composer, pk, srs, label=None, dpk: DevicePK = None,
     dom = pk.domain
     blinds = host._blinders(blinding_seed, 11) \
         if blinding_seed is not None else None
+    high_pts = _resolve_high_g1(srs, dpk, commit_fn, n) \
+        if blinds is not None else None
     # host-tracked high blinding coefficients per polynomial:
     # p' = p_low (device, n rows, rows 0..len-1 adjusted) + sum h_k X^(n+k)
     wire_high = {w: () for w in "abcd"}
@@ -747,7 +779,7 @@ def prove_device(composer, pk, srs, label=None, dpk: DevicePK = None,
                 [wire_coeffs[w] for w in "abcd"])
         _dbg("r1 wire commits")
         if blinds is not None:
-            wire_comms = [_blind_commit(cm, wire_high[w], srs, n)
+            wire_comms = [_blind_commit(cm, wire_high[w], high_pts)
                           for w, cm in zip("abcd", wire_comms)]
         for (lbl, name), cm in zip(
                 ((L.W_L, "w_l"), (L.W_R, "w_r"),
@@ -770,7 +802,8 @@ def prove_device(composer, pk, srs, label=None, dpk: DevicePK = None,
             z_high = tuple(blinds[8:11])
             for k, b in enumerate(z_high):
                 z_coeffs = z_coeffs.at[k].set(sb(z_coeffs[k], const(b)))
-            comm["z"] = _blind_commit(commit_fn(z_coeffs), z_high, srs, n)
+            comm["z"] = _blind_commit(commit_fn(z_coeffs), z_high,
+                                      high_pts)
         else:
             comm["z"] = commit_fn(z_coeffs)
     t.append_commitment(L.Z, comm["z"])
@@ -1072,8 +1105,8 @@ def prove_device(composer, pk, srs, label=None, dpk: DevicePK = None,
                 [(c, v, h) for (c, v), h in zip(agg_zw, hzw)],
                 v_i, zw_i, n)
             cms = commit_many_fn([qz, qzw])
-            comm["w_z"] = _blind_commit(cms[0], qz_high, srs, n)
-            comm["w_zw"] = _blind_commit(cms[1], qzw_high, srs, n)
+            comm["w_z"] = _blind_commit(cms[0], qz_high, high_pts)
+            comm["w_zw"] = _blind_commit(cms[1], qzw_high, high_pts)
     t.append_commitment(L.W_Z, comm["w_z"])
     t.append_commitment(L.W_Z_W, comm["w_zw"])
 
