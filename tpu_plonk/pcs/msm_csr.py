@@ -264,8 +264,27 @@ def _weighted_window_sums_impl(buckets, c: int):
       S_w = K * sum_g g*A_g + sum_g T_g,
       A_g = sum_k B_{g,k},  T_g = sum_k (k+1) B_{g,k},
     each level a high-to-low running-sum scan (the classic Pippenger
-    suffix trick), depth K + G + log2(K) instead of B."""
+    suffix trick), depth K + G + log2(K) instead of B.
+
+    Small windows (B <= 16, i.e. c <= 5 — the mesh dryrun and the
+    narrow-bits CPU tests) take a single-level suffix scan instead:
+    same math, but 2 EC-add instances in the trace instead of 7 —
+    and XLA compile time on this box is ~17-25 s PER add instance
+    (CLAUDE.md rule 2), so the two-level form was ~100 s of pure
+    compile for an 8-bucket problem (VERDICT r4 task 1)."""
     W, B = buckets.shape[:2]
+    if B <= 16:
+        xs = jnp.flip(jnp.moveaxis(buckets, 1, 0), 0)  # (B, W, 3, 24)
+
+        def lvl(carry, x):
+            run, tot = carry
+            run = _stack3(dg1.add(_as_tuple(run), _as_tuple(x)))
+            tot = _stack3(dg1.add(_as_tuple(tot), _as_tuple(run)))
+            return (run, tot), None
+
+        zero_w = _stack3(dg1.identity((W,)))
+        (_, tot), _ = jax.lax.scan(lvl, (zero_w, zero_w), xs)
+        return tot
     K = 1 << ((c - 1 + 1) // 2)
     K = min(K, B)
     G = B // K

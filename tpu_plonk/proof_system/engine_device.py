@@ -432,14 +432,13 @@ class DevicePK:
         if _cp is not None:
             self.cache_phases = _cp not in ("", "0")
         else:
-            # 2^18 since r4: the device-CSR MSM freed the ~100 MB of
-            # per-commit pushed list buffers this gate was tuned
-            # around, and the 2^18 cache is ~1 GB (15 statics x 4
-            # phases x 16 MB) against 16 GB HBM.  2^20 measured
-            # RESOURCE_EXHAUSTED at the quotient recombination
-            # (bench_results/r4_prove20_cachep.log) — the ~4 GB cache
-            # does not fit beside the phase working set.
-            self.cache_phases = n <= (1 << 18)
+            # 2^20 since r5: the cache is resident as u16 (half the
+            # r4 footprint — ~2 GB at 2^20 vs the ~4 GB u32 cache
+            # that RESOURCE_EXHAUSTEDed at the quotient recombination,
+            # bench_results/r4_prove20_cachep.log; widened in-program
+            # by quotient_phase_dev).  Verified on chip in r5
+            # (bench_results/r5_prove20_cachep.log).
+            self.cache_phases = n <= (1 << 20)
         # the round-1 PREFETCH (wire/PI phase tables + the batched z
         # transform) is the cheap half (~20 n-sized arrays, 1.3 GB at
         # 2^20) and is gated separately so 2^20 proves still overlap
@@ -456,8 +455,9 @@ class DevicePK:
         # coset; built lazily on first blinded prove) ---
         self.phase8_built = False
         # 8-phase static cache doubles the 4-phase footprint
-        # (~7.7 KB/row), so it gets a lower size gate
-        self.cache_phases8 = n <= (1 << 15)
+        # (~7.7 KB/row pre-u16, half that resident), so it gets a
+        # lower size gate than the 4-phase cache
+        self.cache_phases8 = n <= (1 << 16)
         self.phase8_static = None
         # [tau^(n+k)]G1 k=0..2 for blinded commits when proving
         # without the host SRS (filled by _resolve_high_g1)
@@ -537,6 +537,17 @@ def grand_product_dev(wires, sigma_H, domain_elems, beta, gamma, log_n):
 
 
 @jax.jit
+def _narrow_u16(arrs):
+    """u32 Montgomery limb arrays -> u16, one program for the whole
+    list.  The limbs carry 16-bit values (CLAUDE.md item 23), so the
+    circuit-static phase tables can live in HBM at half size — this is
+    what lifts the phase-static cache gate from 2^18 to 2^20 (the u32
+    cache RESOURCE_EXHAUSTEDed at the 2^20 recombination,
+    bench_results/r4_prove20_cachep.log; VERDICT r4 task 4)."""
+    return [a.astype(jnp.uint16) for a in arrs]
+
+
+@jax.jit
 def quotient_phase_dev(wire_ph, z_ph, pi_ph, sel_ph, sigma_ph, xpts,
                        alpha, ch, zh_inv_c, l1_vec):
     """t evaluations over ONE interleaved size-n coset s_i*H.  The
@@ -547,6 +558,11 @@ def quotient_phase_dev(wire_ph, z_ph, pi_ph, sel_ph, sigma_ph, xpts,
     coset, circuit-static and cached on DevicePK (it needs a 255-step
     batch inversion — recomputing it per prove was pure waste).  All
     inputs are traced, so ONE compiled program serves all phases."""
+    # the circuit-static tables arrive u16 when cached (half-HBM
+    # resident form); widen in-program — a fused cast on load, not a
+    # separate dispatch, and a free bandwidth win on the reads
+    sel_ph = {k: v.astype(jnp.uint32) for k, v in sel_ph.items()}
+    sigma_ph = [s.astype(jnp.uint32) for s in sigma_ph]
     m = wire_ph["a"].shape[0]
     w = tuple(wire_ph[c] for c in "abcd")
     wn = tuple(jnp.roll(wire_ph[c], -1, axis=0) for c in "abcd")
@@ -868,9 +884,20 @@ def prove_device(composer, pk, srs, label=None, dpk: DevicePK = None,
         if cache_ok and getattr(dpk, cache_attr) is None:
             tables = []
             for i in range(n_phases):
-                out = phase_ntt_many(static_polys, i, n_phases)
-                tables.append((dict(zip(SELECTOR_NAMES, out[:n_sel])),
-                               out[n_sel:]))
+                raw = []
+                out = phase_ntt_many(static_polys, i, n_phases,
+                                     keep_raw=raw)
+                # resident form is u16 (half HBM; widened in-program by
+                # quotient_phase_dev); reclaim the u32 transforms AND
+                # their stacked ntt_many parents eagerly — the views
+                # pin the parents (rule 17a) and at 2^20 the build
+                # would otherwise carry ~2x the final cache
+                out16 = _narrow_u16(out)
+                _sync1(out16[-1])
+                _free(*out, *raw)
+                tables.append((dict(zip(SELECTOR_NAMES,
+                                        out16[:n_sel])),
+                               out16[n_sel:]))
             setattr(dpk, cache_attr, tables)
         static_tables = getattr(dpk, cache_attr)
         phase_u = None if blinds is None else dpk.phase8_u

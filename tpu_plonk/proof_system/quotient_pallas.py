@@ -237,6 +237,9 @@ def quotient_phase_pallas(wire_ph, z_ph, pi_ph, sel_ph, sigma_ph, xpts,
                           alpha, ch, zh_inv_c, l1_vec, interpret=False):
     """Drop-in for engine_device.quotient_phase_dev (same argument
     meaning; alpha/ch/zh_inv_c are (16,) Montgomery scalars)."""
+    # cached statics arrive u16 (engine_device._narrow_u16); widen
+    sel_ph = {k: v.astype(jnp.uint32) for k, v in sel_ph.items()}
+    sigma_ph = [s.astype(jnp.uint32) for s in sigma_ph]
     n = wire_ph["a"].shape[0]
     ct = jnp.asarray(_static_cols())
     for name, v in (("beta", ch["beta"]), ("gamma", ch["gamma"]),
