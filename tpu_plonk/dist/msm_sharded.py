@@ -82,14 +82,16 @@ def _sharded_runner(mesh, c: int, axis: str):
     return run
 
 
-def shard_csr_from_limbs(canon, c: int, n_shards: int, n_windows: int):
+def shard_csr_from_limbs(canon, c: int, n_shards: int, n_windows: int,
+                         chunk: int = None):
     """(N, 16) canonical limbs (N divisible by n_shards) -> stacked
     per-shard CSR tensors with common shapes (native C builder when
     available)."""
     n = canon.shape[0]
     assert n % n_shards == 0
     ns = n // n_shards
-    chunk = msm_csr.default_chunk(ns, c)
+    if chunk is None:
+        chunk = msm_csr.default_chunk(ns, c)
     csrs = [msm_csr.csr_from_limbs(canon[d * ns:(d + 1) * ns], c,
                                    n_windows, chunk)
             for d in range(n_shards)]
@@ -145,15 +147,44 @@ def msm_sharded(mesh, points, scalars, c: int = 12, n_windows: int = None,
     return msm_csr.fold_windows_host(sums, c)
 
 
+def _pad_or_trim(arr: np.ndarray, axis: int, size: int) -> np.ndarray:
+    """Pad axis with zeros up to `size`, or trim it down — asserting
+    the trimmed tail is all zero padding (it is whenever `size` is a
+    true worst-case bound and the builder merely quantized past it)."""
+    cur = arr.shape[axis]
+    if cur == size:
+        return arr
+    if cur < size:
+        pads = [(0, 0)] * arr.ndim
+        pads[axis] = (0, size - cur)
+        return np.pad(arr, pads)
+    idx = [slice(None)] * arr.ndim
+    idx[axis] = slice(size, None)
+    assert not arr[tuple(idx)].any(), "static CSR bound violated"
+    idx[axis] = slice(None, size)
+    return arr[tuple(idx)]
+
+
 class ShardedCommitter:
     """KZG commitments over the device mesh: SRS G1 powers resident,
     sharded once; `commit` takes Montgomery coefficient limb arrays
     (the device engine's native form) and returns the affine G1
     commitment.  Drop-in for DeviceCommitter when a mesh is in play
-    (proof_system/engine_device.py `prove_device(mesh=...)`)."""
+    (proof_system/engine_device.py `prove_device(mesh=...)`).
+
+    `static_shapes` pins the per-shard CSR tensors to a worst-case
+    (R, M2) computed once from (points/shard, c, chunk), so EVERY
+    commit runs the SAME shard_map walk program.  Without it the
+    data-dependent row count quantizes per commit (build_csr pads R to
+    256-multiples), and a commit crossing a boundary cold-compiles a
+    second ~70 s walk mid-prove — exactly what burned the r5 cold
+    dryrun (bench_results/r5_dryrun_cold3.log, the 67 s jit(run) at
+    16:03:53).  Default on for small tables (the dryrun regime), off at
+    scale where the worst-case bound would pad ~2x the typical rows."""
 
     def __init__(self, mesh, srs, max_len: int, c: int = 12,
-                 axis: str = "shard"):
+                 axis: str = "shard", chunk: int = None,
+                 static_shapes: bool = None):
         if max_len > len(srs.powers_g1):
             raise ValueError("SRS too small for committed length")
         self.mesh = mesh
@@ -163,6 +194,20 @@ class ShardedCommitter:
             mesh, srs.powers_g1[:max_len], axis)
         self.max_len = max_len
         self.n_windows = msm_csr.signed_window_count(c)
+        d = mesh.shape[axis]
+        ns = self.total // d
+        self.chunk = chunk if chunk is not None \
+            else msm_csr.default_chunk(ns, c)
+        if static_shapes is None:
+            static_shapes = self.n_windows * ns <= 4096
+        self.static_R = self.static_M2 = None
+        if static_shapes:
+            # per window: distributing ns entries over B buckets gives
+            # sum_b ceil(cnt_b/chunk) <= floor(ns/chunk) + min(ns, B)
+            B = 1 << (c - 1)
+            self.static_R = self.n_windows * (
+                ns // self.chunk + min(ns, B))
+            self.static_M2 = max(1, -(-ns // self.chunk))
 
     def commit(self, coeffs_mont):
         n = coeffs_mont.shape[0]
@@ -172,7 +217,14 @@ class ShardedCommitter:
         canon = np.pad(canon, ((0, self.total - n), (0, 0)))
         l1, l2 = shard_csr_from_limbs(canon, self.c,
                                       self.mesh.shape[self.axis],
-                                      self.n_windows)
+                                      self.n_windows, chunk=self.chunk)
+        if self.static_R is not None:
+            # build_csr quantizes (R, M2) up to 256/16 multiples; the
+            # extra rows/cols are zero padding, so slicing back down to
+            # the static worst-case bound is exact (row ids in l2 only
+            # reference real rows <= the bound)
+            l1 = _pad_or_trim(l1, 1, self.static_R)
+            l2 = _pad_or_trim(l2, 3, self.static_M2)
         sums = window_sums_from_csr(self.mesh, self.points, l1, l2,
                                     self.c, self.axis)
         return msm_csr.fold_windows_host(sums, self.c)
