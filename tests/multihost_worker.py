@@ -87,7 +87,11 @@ def _prove_mode(pid, mesh):
     srs = srs_mod.cached_setup(cs.padded_size() + 8)
     pk, vk = preprocess(cs, srs)
     want = prove(cs, pk, srs)       # replicated host oracle
-    committer = ShardedCommitter(mesh, srs, pk.n, c=4)
+    # chunk=8 + static shapes: one walk program for all 11 commits and
+    # ~4x fewer padded list slots than the default chunk=32 floor (the
+    # same choices that keep the driver's dryrun_multichip cold-fast)
+    committer = ShardedCommitter(mesh, srs, pk.n, c=4, chunk=8,
+                                 static_shapes=True)
     got = prove_device(cs, pk, srs, commit_fn=committer.commit,
                        mesh=mesh)
     assert got.to_bytes() == want.to_bytes(), \

@@ -48,12 +48,14 @@ def test_two_process_sharded_ntt():
     _run_workers("ntt")
 
 
-@pytest.mark.skipif(
-    not os.environ.get("TPU_PLONK_BIG_TESTS"),
-    reason="30-60 min on the 4-core CI box (two processes each trace + "
-           "compile the full engine); set TPU_PLONK_BIG_TESTS=1")
 def test_two_process_full_prove():
     """Multi-controller end-to-end proof: 2 processes x 4 devices, the
     device engine's NTTs/commits sharded over the global mesh, proof
-    bytes identical to the host oracle on BOTH processes."""
-    _run_workers("prove", timeout=3600)
+    bytes identical to the host oracle on BOTH processes.
+
+    In the default suite since round 5 (VERDICT r4 task 7): the
+    committer's static CSR shapes (one walk program for all 11
+    commits), chunk=8, and the shared .cache/jax-test persistent
+    compile cache cut the old 30-60 min cold cost — in-suite the
+    earlier dist tests have already warmed most sharded programs."""
+    _run_workers("prove", timeout=1800)
