@@ -130,6 +130,24 @@ def device_srs_points(max_len: int,
               f"as u16)", flush=True)
         return out
     tau = _tau(seed)
+    if os.environ.get("TPU_PLONK_SRS_LADDER", "") not in ("", "0") \
+            or jax.default_backend() in ("cpu",):
+        # legacy bit-ladder (also the CPU-test path: the walk generator
+        # routes through the fused Pallas kernel, whose interpret-mode
+        # grid unrolls — CLAUDE.md rule 20)
+        packed = _gen_ladder(tau, max_len, block)
+        np.save(path, packed)
+        return jnp.asarray(packed)
+    out = _gen_walk(tau, max_len)
+    if max_len <= (1 << 20):
+        # disk-cache small/mid tables; above that the ~0.3-1.2 GB pull
+        # through the tunnel costs more than regenerating (~tens of
+        # seconds on device) and the .npy would dwarf the repo cache
+        np.save(path, np.asarray(out))
+    return out
+
+
+def _gen_ladder(tau: int, max_len: int, block: int) -> np.ndarray:
     scalars = np.empty(max_len, dtype=object)
     acc = 1
     for i in range(max_len):
@@ -151,9 +169,120 @@ def device_srs_points(max_len: int,
             _batch_ladder(jnp.asarray(bits), gx, gy))))
     pts = np.concatenate(out_blocks, axis=0)
     ident = np.asarray(jnp.stack(dg1.identity((1,)), axis=1))
-    packed = np.concatenate([ident, pts], axis=0)
-    np.save(path, packed)
-    return jnp.asarray(packed)
+    return np.concatenate([ident, pts], axis=0)
+
+
+# ---------------------------------------------------------------------------
+# Walk generator: SRS as a Pippenger-transpose CSR walk.
+#
+# The bit-ladder above costs 255 batched complete adds per point block
+# (~94 s per 2^15 block on v5e => ~3.3 h at 2^22 — the round-5 2^22
+# prove died of exactly this).  But tau^i * G = sum_w d_{i,w} 2^{cw} G
+# for the signed digits d of tau^i, and [d * 2^{cw}]G over all
+# (w, |d| <= 2^{c-1}) is a SMALL host-computable table (81,921 affine
+# points at c=13).  So: derive every tau^i on DEVICE (one blocked
+# prefix-product scan — zero wire traffic), extract signed digits on
+# device, and hand the (N, W) per-point index lists to the SAME fused
+# CSR-accumulate kernel the MSM uses (curves/pallas_g1.accumulate_csr,
+# one VMEM-resident point-add instance).  W=20 useful adds per point
+# instead of 255 masked ladder steps, at the walk kernel's measured
+# ~12.6M adds/s => 2^22 generates in tens of seconds.  The only wire
+# cost is the ~8 MB u16 table push.
+# ---------------------------------------------------------------------------
+
+def _digits_to_idx(canon, c: int, n_windows: int):
+    """(N, 16) canonical u32 limbs -> (N, W) signed 1-based table
+    indices: sign(d) * (w * 2^(c-1) + |d|), 0 for zero digits.  Device
+    mirror of msm_csr.limbs_to_digits + recode_signed (bit-exact for
+    scalars < r; no overflow window when c does not divide 255)."""
+    n = canon.shape[0]
+    ext = jnp.concatenate([canon, jnp.zeros((n, 1), jnp.uint32)], axis=1)
+    mask = jnp.uint32((1 << c) - 1)
+    digs = []
+    for w in range(n_windows):
+        bit = w * c
+        li, sh = bit // 16, bit % 16
+        lo = ext[:, li] >> jnp.uint32(sh)
+        if sh:
+            lo = lo | (ext[:, li + 1] << jnp.uint32(16 - sh))
+        digs.append((lo & mask).astype(jnp.int32))
+    half = 1 << (c - 1)
+    full = 1 << c
+    carry = jnp.zeros((n,), jnp.int32)
+    out = []
+    for w in range(n_windows):
+        d = digs[w] + carry
+        carry = (d > half).astype(jnp.int32)
+        d = d - carry * full
+        idx = jnp.abs(d) + w * half
+        out.append(jnp.where(d == 0, 0, jnp.where(d < 0, -idx, idx)))
+    return jnp.stack(out, axis=1)
+
+
+def _walk_table_host(c: int, n_windows: int) -> np.ndarray:
+    """(2L, W*2^(c-1) + 1) u16 transposed x||y table of
+    [d * 2^{cw}]G (d = 1..2^(c-1)), Montgomery limbs; column 0 is the
+    accumulate_csr identity pad (x=0, y=R mod p)."""
+    from ..fields import limbs as limbsmod
+    from ..params import P_MOD, FP_MONT_R
+    half = 1 << (c - 1)
+    xs, ys = [0], [FP_MONT_R % P_MOD]
+    for w in range(n_windows):
+        base = g1.mul(g1.GEN, pow(2, c * w, R_MOD))
+        acc = None
+        for _ in range(half):
+            acc = g1.add(acc, base)
+            xs.append(acc[0] * FP_MONT_R % P_MOD)
+            ys.append(acc[1] * FP_MONT_R % P_MOD)
+    lx = np.asarray(limbsmod.ints_to_limbs(xs, 24))     # (P, 24)
+    ly = np.asarray(limbsmod.ints_to_limbs(ys, 24))
+    return np.concatenate([lx.T, ly.T], axis=0).astype(np.uint16)
+
+
+def _gen_walk(tau: int, max_len: int, c: int = 13,
+              block: int = 1 << 19) -> jnp.ndarray:
+    from ..fields import limbs as limbsmod
+    from ..curves import pallas_g1 as plg
+    from ..params import P_MOD, FR_MONT_R, FP_MONT_R
+    import time as _time
+    t0 = _time.time()
+    W = msm_csr.signed_window_count(c)
+    tbl = jnp.asarray(_walk_table_host(c, W)).astype(jnp.uint32)
+    t1 = _time.time()
+    # tau^0 .. tau^(max_len-1), derived on device (Montgomery form)
+    tau_mont = np.asarray(limbsmod.int_to_limbs(
+        tau * FR_MONT_R % R_MOD, 16))
+    taus = jnp.broadcast_to(jnp.asarray(tau_mont)[None, :],
+                            (max_len - 1, 16))
+    pref = dev.prefix_mul_mont(taus, dev.FR, axis=0)    # tau^1..
+    one = np.asarray(limbsmod.int_to_limbs(FR_MONT_R % R_MOD, 16))
+    scal = jnp.concatenate([jnp.asarray(one)[None, :], pref], axis=0)
+    idx = _digits_to_idx(dev.from_mont(scal, dev.FR), c, W)
+    rx, ry, rz = plg.accumulate_csr(tbl, idx, affine=True)
+    packed = jnp.stack([rx.T, ry.T, rz.T], axis=1)      # (N, 3, 24)
+    # blocked normalization: one whole-array batch inversion at 2^22
+    # risks a program-level RESOURCE_EXHAUSTED (CLAUDE.md rule 17c)
+    pts = jnp.concatenate(
+        [_normalize_packed(packed[lo:lo + block])
+         for lo in range(0, max_len, block)], axis=0)
+    ident = jnp.stack(dg1.identity((1,)), axis=1)
+    out = jnp.concatenate([ident, pts], axis=0)
+    out.block_until_ready()
+    t2 = _time.time()
+    # spot-check against the host oracle before anything consumes it
+    # (a wrong SRS would poison every later prove via the disk cache)
+    rng = np.random.default_rng(0)
+    rinv = pow(FP_MONT_R, -1, P_MOD)
+    for i in map(int, rng.integers(0, max_len, size=4)):
+        want = g1.mul(g1.GEN, pow(tau, i, R_MOD))
+        row = np.asarray(out[i + 1])
+        x = limbsmod.limbs_to_int(row[0])
+        y = limbsmod.limbs_to_int(row[1])
+        assert (x * rinv % P_MOD, y * rinv % P_MOD) == want, \
+            f"walk SRS row {i} diverges from host [tau^i]G"
+    print(f"srs walk-gen: table {t1 - t0:.1f}s, device walk+norm "
+          f"{t2 - t1:.1f}s, n={max_len}", flush=True)
+    return out
 
 
 def srs_g2(seed: bytes = b"tpu-plonk insecure srs"):
