@@ -18,6 +18,7 @@ pcs/srs.setup, so device- and host-generated SRS agree pointwise and
 proof bytes stay engine-independent.  Disk-cached as one .npy.
 """
 
+import functools
 import hashlib
 import os
 
@@ -190,11 +191,28 @@ def _gen_ladder(tau: int, max_len: int, block: int) -> np.ndarray:
 # cost is the ~8 MB u16 table push.
 # ---------------------------------------------------------------------------
 
+@functools.partial(jax.jit, static_argnames=("n", "c", "n_windows"))
+def _srs_idx_dev(tau_mont_row, one_row, n: int, c: int, n_windows: int):
+    """tau (Montgomery (16,) row) -> (n, W) signed table indices for
+    the walk, all in ONE jitted program: prefix-product scan for
+    tau^0..tau^(n-1), Montgomery strip, digit extraction.  The eager
+    form compiled ~200 small remote programs at 2^22 (the blocked
+    prefix scan alone is ~100 slice/mul/pad dispatches) and spent
+    15+ min in compile round-trips (rule 16)."""
+    taus = jnp.broadcast_to(tau_mont_row[None, :], (n - 1, 16))
+    pref = dev.prefix_mul_mont(taus, dev.FR, axis=0)    # tau^1..
+    scal = jnp.concatenate([one_row[None, :], pref], axis=0)
+    return _digits_to_idx(dev.from_mont(scal, dev.FR), c, n_windows)
+
+
+@functools.partial(jax.jit, static_argnames=("c", "n_windows"))
 def _digits_to_idx(canon, c: int, n_windows: int):
     """(N, 16) canonical u32 limbs -> (N, W) signed 1-based table
     indices: sign(d) * (w * 2^(c-1) + |d|), 0 for zero digits.  Device
     mirror of msm_csr.limbs_to_digits + recode_signed (bit-exact for
-    scalars < r; no overflow window when c does not divide 255)."""
+    scalars < r; no overflow window when c does not divide 255).
+    ONE jitted program: the ~40-op eager form cost a fresh remote
+    compile + 0.4 s dispatch PER OP at 2^22 (rule 16)."""
     n = canon.shape[0]
     ext = jnp.concatenate([canon, jnp.zeros((n, 1), jnp.uint32)], axis=1)
     mask = jnp.uint32((1 << c) - 1)
@@ -252,12 +270,9 @@ def _gen_walk(tau: int, max_len: int, c: int = 13,
     # tau^0 .. tau^(max_len-1), derived on device (Montgomery form)
     tau_mont = np.asarray(limbsmod.int_to_limbs(
         tau * FR_MONT_R % R_MOD, 16))
-    taus = jnp.broadcast_to(jnp.asarray(tau_mont)[None, :],
-                            (max_len - 1, 16))
-    pref = dev.prefix_mul_mont(taus, dev.FR, axis=0)    # tau^1..
     one = np.asarray(limbsmod.int_to_limbs(FR_MONT_R % R_MOD, 16))
-    scal = jnp.concatenate([jnp.asarray(one)[None, :], pref], axis=0)
-    idx = _digits_to_idx(dev.from_mont(scal, dev.FR), c, W)
+    idx = _srs_idx_dev(jnp.asarray(tau_mont), jnp.asarray(one),
+                       max_len, c, W)
     rx, ry, rz = plg.accumulate_csr(tbl, idx, affine=True)
     packed = jnp.stack([rx.T, ry.T, rz.T], axis=1)      # (N, 3, 24)
     # blocked normalization: one whole-array batch inversion at 2^22
