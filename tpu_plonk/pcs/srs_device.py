@@ -199,8 +199,15 @@ def _srs_idx_dev(tau_mont_row, one_row, n: int, c: int, n_windows: int):
     form compiled ~200 small remote programs at 2^22 (the blocked
     prefix scan alone is ~100 slice/mul/pad dispatches) and spent
     15+ min in compile round-trips (rule 16)."""
-    taus = jnp.broadcast_to(tau_mont_row[None, :], (n - 1, 16))
-    pref = dev.prefix_mul_mont(taus, dev.FR, axis=0)    # tau^1..
+    # pad the scan length to a 2^16 multiple: blocked_scan falls back
+    # to a FULL associative_scan on non-multiple lengths, whose 22
+    # unrolled combine levels OOM-kill the remote compiler at 2^20+
+    # (rule 10); the surplus rows are just higher tau powers, sliced
+    total = n - 1
+    blk = 1 << 16
+    padt = -(-total // blk) * blk if total > blk else total
+    taus = jnp.broadcast_to(tau_mont_row[None, :], (padt, 16))
+    pref = dev.prefix_mul_mont(taus, dev.FR, axis=0)[:total]  # tau^1..
     scal = jnp.concatenate([one_row[None, :], pref], axis=0)
     return _digits_to_idx(dev.from_mont(scal, dev.FR), c, n_windows)
 
