@@ -266,7 +266,7 @@ def batch_inv(x):
 def _ev_many_jit(k: int, n: int):
     @jax.jit
     def run(stack, pows):            # (k, n, 16), (>=n, 16)
-        x = mm(stack, pows[None, :n])
+        x = mm(stack.astype(jnp.uint32), pows[None, :n])
         m = n
         while m > 1:                 # tree_sum along axis 1
             half = m // 2
@@ -306,7 +306,7 @@ def ev_many(polys, pows):
 def _lincomb_jit(k: int):
     @jax.jit
     def run(stack, scals):           # (k, n, 16), (k, 16)
-        prods = mm(stack, scals[:, None, :])
+        prods = mm(stack.astype(jnp.uint32), scals[:, None, :])
         acc = prods[0]
         for i in range(1, k):
             acc = ad(acc, prods[i])
@@ -316,20 +316,30 @@ def _lincomb_jit(k: int):
 
 def lincomb(consts_i, polys):
     """sum_i consts_i[i] * polys[i] (host int constants, device
-    polynomials) as ONE jitted program — replaces the eager mm/ad
+    polynomials) as few jitted programs — replaces the eager mm/ad
     chains of the linearization, quotient recombination, and
     aggregate-open folds (each eager op costs a ~0.4 s dispatch on the
-    tunneled backend)."""
-    stack = jnp.stack(polys)
-    scals = jnp.asarray(np.stack([_const(v) for v in consts_i]))
-    return _lincomb_jit(len(polys))(stack, scals)
+    tunneled backend).  Chunked by _EV_CHUNK like ev_many: one k=13
+    program holds (k, n, 16) products and the tunnel worker rejects
+    programs that size at scale (rule 17c; the 2^22 run).  Modular
+    addition is exact, so partial-sum order doesn't change bytes."""
+    acc = None
+    for lo in range(0, len(polys), _EV_CHUNK):
+        sub = polys[lo:lo + _EV_CHUNK]
+        stack = jnp.stack(sub)
+        scals = jnp.asarray(np.stack(
+            [_const(v) for v in consts_i[lo:lo + _EV_CHUNK]]))
+        part = _lincomb_jit(len(sub))(stack, scals)
+        acc = part if acc is None else ad(acc, part)
+    return acc
 
 
 @functools.lru_cache(maxsize=None)
 def _lincomb_many_jit(m: int, k: int):
     @jax.jit
     def run(stack, scals):           # (k, n, 16), (m, k, 16)
-        prods = mm(stack[None], scals[:, :, None, :])   # (m, k, n, 16)
+        prods = mm(stack.astype(jnp.uint32)[None],
+                   scals[:, :, None, :])                # (m, k, n, 16)
         acc = prods[:, 0]
         for i in range(1, k):
             acc = ad(acc, prods[:, i])
@@ -338,14 +348,21 @@ def _lincomb_many_jit(m: int, k: int):
 
 
 def lincomb_many(const_rows, polys):
-    """m independent linear combinations of the same poly stack as ONE
-    program (the quotient recombination's four inverse-Vandermonde
-    rows were four lincomb dispatches at ~0.4 s each)."""
-    stack = jnp.stack(polys)
-    scals = jnp.asarray(np.stack(
-        [np.stack([_const(v) for v in row]) for row in const_rows]))
-    return list(_lincomb_many_jit(len(const_rows), len(polys))(
-        stack, scals))
+    """m independent linear combinations of the same poly stack as few
+    programs (the quotient recombination's four inverse-Vandermonde
+    rows were four lincomb dispatches at ~0.4 s each).  Chunked over
+    the poly axis like lincomb (exact modular partial sums)."""
+    m = len(const_rows)
+    acc = None
+    for lo in range(0, len(polys), _EV_CHUNK):
+        sub = polys[lo:lo + _EV_CHUNK]
+        stack = jnp.stack(sub)
+        scals = jnp.asarray(np.stack(
+            [np.stack([_const(v) for v in row[lo:lo + _EV_CHUNK]])
+             for row in const_rows]))
+        part = _lincomb_many_jit(m, len(sub))(stack, scals)
+        acc = part if acc is None else ad(acc, part)
+    return list(acc)
 
 
 # ---------------------------------------------------------------------------
@@ -391,15 +408,25 @@ class DevicePK:
         self.pk = pk
         n = pk.n
         self.log_n = n.bit_length() - 1
-        self.sel_coeffs = {k: to_dev(v) for k, v in
-                           pk.selector_coeffs.items()}
-        self.sigma_coeffs = [to_dev(v) for v in pk.sigma_coeffs]
-        self.domain_elems = to_dev(pk.domain.elements())
+        # circuit-static tables live u16-resident (Montgomery limbs
+        # carry 16 bits — lossless) and widen in-program at use: at
+        # 2^22 the u32 residency of 20 n-sized tables alone is ~5 GB
+        # of the 16 GB HBM (r5 prove22 RESOURCE_EXHAUSTED saga); the
+        # in-program cast is a fused widening load, and consumers
+        # (_ev_many_jit/_lincomb_jit/ntt stacks, grand_product,
+        # quotient) all upcast at entry
+        self.sel_coeffs = {k: to_dev(v).astype(jnp.uint16)
+                           for k, v in pk.selector_coeffs.items()}
+        self.sigma_coeffs = [to_dev(v).astype(jnp.uint16)
+                             for v in pk.sigma_coeffs]
+        self.domain_elems = to_dev(
+            pk.domain.elements()).astype(jnp.uint16)
         self.wire_idx = {w: jnp.asarray(np.asarray(pk.wire_vars[w],
                                                    dtype=np.int32))
                          for w in "abcd"}
         # sigma evals over H (for the grand product ratios)
-        self.sigma_H = [nttmod.ntt(c, self.log_n)
+        self.sigma_H = [nttmod.ntt(c.astype(jnp.uint32),
+                                   self.log_n).astype(jnp.uint16)
                         for c in self.sigma_coeffs]
 
         # --- phase tables for the quotient round ---
@@ -490,9 +517,10 @@ class DevicePK:
             s = self.phase_s[i] if n_phases == 4 else self.phase8_s[i]
             if inverse:
                 s = pow(s, -1, R_MOD)
-            self._phase_pows[key] = powers_of(to_dev_scalar(s),
-                                              1 << self.log_n)
-        return self._phase_pows[key]
+            self._phase_pows[key] = powers_of(
+                to_dev_scalar(s),
+                1 << self.log_n).astype(jnp.uint16)   # u16 resident
+        return self._phase_pows[key].astype(jnp.uint32)
 
     def phase_xpts_l1(self, i: int, n_phases: int = 4):
         """(xpts, L1 evals) on phase coset i — circuit-static, cached:
@@ -504,10 +532,15 @@ class DevicePK:
             l1_c = self.l1c_phase[i] if n_phases == 4 \
                 else self.l1c_phase8[i]
             n = 1 << self.log_n
-            xpts = mm(const(s, (n,)), self.domain_elems)
+            xpts = mm(const(s, (n,)),
+                      self.domain_elems.astype(jnp.uint32))
             l1 = mm(const(l1_c, (n,)), batch_inv(csub(xpts, 1)))
-            self._phase_xl1[key] = (xpts, l1)
-        return self._phase_xl1[key]
+            # cached u16 (16-bit Montgomery limbs): 8 n-arrays at 2^22
+            # were 2.1 GB of HBM as u32
+            self._phase_xl1[key] = (xpts.astype(jnp.uint16),
+                                    l1.astype(jnp.uint16))
+        x16, l16 = self._phase_xl1[key]
+        return x16.astype(jnp.uint32), l16.astype(jnp.uint32)
 
 
 def wire_values_dev(dpk: DevicePK, witness_mont):
@@ -516,7 +549,10 @@ def wire_values_dev(dpk: DevicePK, witness_mont):
 
 @functools.partial(jax.jit, static_argnames=("log_n",))
 def grand_product_dev(wires, sigma_H, domain_elems, beta, gamma, log_n):
-    """z evaluations over H from wire evals + sigma evals (Montgomery)."""
+    """z evaluations over H from wire evals + sigma evals (Montgomery).
+    sigma_H / domain_elems arrive u16 (DevicePK resident form)."""
+    sigma_H = [s.astype(jnp.uint32) for s in sigma_H]
+    domain_elems = domain_elems.astype(jnp.uint32)
     n = 1 << log_n
     num = const(1, (n,))
     den = const(1, (n,))
@@ -737,10 +773,17 @@ def prove_device(composer, pk, srs, label=None, dpk: DevicePK = None,
         witness_mont = to_dev(composer.witness)
         wires_H = wire_values_dev(dpk, witness_mont)
         if mesh is None:
-            stacked = nttmod.ntt_many(
-                jnp.stack([wires_H[w] for w in "abcd"]), log_n,
-                inverse=True)
-            wire_coeffs = dict(zip("abcd", stacked))
+            # capped like the quotient's phase transforms: the (4, n)
+            # batched program RESOURCE_EXHAUSTEDed at 2^22 (rule 17c;
+            # bench_results/r5_prove22.log)
+            cap = int(_os.environ.get("TPU_PLONK_NTT_BATCH", "4"))
+            ws = "abcd"
+            stacked = []
+            for lo in range(0, 4, cap):
+                stacked.extend(nttmod.ntt_many(
+                    jnp.stack([wires_H[w] for w in ws[lo:lo + cap]]),
+                    log_n, inverse=True))
+            wire_coeffs = dict(zip(ws, stacked))
         else:
             wire_coeffs = {w: _intt(wires_H[w], log_n) for w in "abcd"}
         if blinds is not None:
@@ -858,13 +901,17 @@ def prove_device(composer, pk, srs, label=None, dpk: DevicePK = None,
             (prove20_r3.log, HTTP 500 subprocess exit 1)."""
             if mesh is not None:
                 pows = dpk.phase_pows(i, n_phases=n_phases)
-                return [_ntt(mm(p, pows), log_n) for p in polys]
+                return [_ntt(mm(p.astype(jnp.uint32), pows), log_n)
+                        for p in polys]
             s = dpk.phase_s[i] if n_phases == 4 else dpk.phase8_s[i]
             cap = int(_os.environ.get("TPU_PLONK_NTT_BATCH", "4"))
             out = []
             for lo in range(0, len(polys), cap):
+                # u32 stack: static selector/sigma coeffs arrive u16
+                # (DevicePK resident form); mixed stacks promote
                 res = nttmod.ntt_many(
-                    jnp.stack(polys[lo:lo + cap]), log_n, scale=s)
+                    jnp.stack(polys[lo:lo + cap]).astype(jnp.uint32),
+                    log_n, scale=s)
                 if keep_raw is not None:
                     keep_raw.append(res)   # parent buffers, for _free
                 out.extend(res)
@@ -991,11 +1038,16 @@ def prove_device(composer, pk, srs, label=None, dpk: DevicePK = None,
                     _free(z_ph, pi_ph, *wire_ph.values(),
                           *sel_ph.values(), *sigma_ph, *phase_raw)
         if mesh is None:
-            t_inv_raw = nttmod.ntt_many(jnp.stack(t_phase), log_n,
-                                        inverse=True)
-            t_inv = list(t_inv_raw)
+            cap = int(_os.environ.get("TPU_PLONK_NTT_BATCH", "4"))
+            t_inv_parents = []     # stacked ntt_many outputs (rule 17a)
+            t_inv = []
+            for lo in range(0, len(t_phase), cap):
+                res = nttmod.ntt_many(jnp.stack(t_phase[lo:lo + cap]),
+                                      log_n, inverse=True)
+                t_inv_parents.append(res)
+                t_inv.extend(res)
         else:
-            t_inv_raw = None
+            t_inv_parents = []
             t_inv = [_intt(t, log_n) for t in t_phase]
         # one batched multiply for all phases' s_i^-j unscaling, then
         # each chunk's inverse-Vandermonde row as one jitted lincomb
@@ -1017,7 +1069,7 @@ def prove_device(composer, pk, srs, label=None, dpk: DevicePK = None,
         prefetched_r3.clear()
         if mesh is None and static_tables is None:
             _sync1(chunks[-1])
-            _free(*t_phase, *t_inv, *c_phase, t_inv_raw, c_raw,
+            _free(*t_phase, *t_inv, *c_phase, *t_inv_parents, c_raw,
                   inv_pows, z_ph_all)
         _dbg("r3 chunks", chunks[0])
         chunk_comms = commit_many_fn(chunks)

@@ -126,12 +126,13 @@ def preprocess_device_cached(composer, committer, cache_dir=None,
         if verbose:
             print(f"preprocess cache hit: {path}")
         z = np.load(path)
-        # push the u16 limbs as-is (half the tunnel bytes) and upcast
-        # on device — the wire is the cost (0.3-9 MB/s push, r4)
-        sel_coeffs = {name: jnp.asarray(
-            z[f"sel_{name}"]).astype(jnp.uint32)
-            for name in SELECTOR_NAMES}
-        sigma_coeffs = [jnp.asarray(z[f"sigma_{i}"]).astype(jnp.uint32)
+        # push the u16 limbs as-is (half the tunnel bytes) and KEEP
+        # them u16 on device — DevicePK's resident form is u16 since
+        # r5 (consumers widen in-program); the old u32 upcast pinned
+        # ~6.7 GB of HBM at 2^22 for tables DevicePK duplicates
+        sel_coeffs = {name: jnp.asarray(z[f"sel_{name}"])
+                      for name in SELECTOR_NAMES}
+        sigma_coeffs = [jnp.asarray(z[f"sigma_{i}"])
                         for i in range(4)]
         vk = VerifierKey.from_bytes(bytes(z["vk"].tobytes()))
         pk = ProverKey(n, Domain(n), Domain(4 * n), sel_coeffs, None,
@@ -167,6 +168,7 @@ def preprocess_device(composer, committer):
     and the VerifierKey.  VERDICT round-1 task 3."""
     from ..poly import ntt as nttmod
     from .engine_device import to_dev
+    import jax.numpy as jnp
 
     n = composer.padded_size()
     log_n = n.bit_length() - 1
@@ -179,12 +181,19 @@ def preprocess_device(composer, committer):
     for name in SELECTOR_NAMES:
         col = to_dev(composer.q[name] + [0] * pad)
         coeffs = nttmod.intt(col, log_n)
-        sel_coeffs[name] = coeffs
+        # store u16 (DevicePK's resident form; limbs carry 16 bits) —
+        # keeping the u32 originals alive alongside DevicePK's copies
+        # doubled the static-table HBM at 2^22
+        sel_coeffs[name] = coeffs.astype(jnp.uint16)
         sel_commits[name] = committer.commit(coeffs)
 
     sigma_evals, _ = build_sigma_evals(composer, n)
-    sigma_coeffs = [nttmod.intt(to_dev(se), log_n) for se in sigma_evals]
-    sigma_commits = [committer.commit(sc) for sc in sigma_coeffs]
+    sigma_coeffs = []
+    sigma_commits = []
+    for se in sigma_evals:
+        sc = nttmod.intt(to_dev(se), log_n)
+        sigma_coeffs.append(sc.astype(jnp.uint16))
+        sigma_commits.append(committer.commit(sc))
 
     pk = ProverKey(n, dom, ext, sel_coeffs, None, sigma_coeffs, None,
                    wire_vars, None, None, None)
