@@ -535,8 +535,12 @@ class DevicePK:
             xpts = mm(const(s, (n,)),
                       self.domain_elems.astype(jnp.uint32))
             l1 = mm(const(l1_c, (n,)), batch_inv(csub(xpts, 1)))
+            if n > (1 << 20):
+                # don't pin 2 n-arrays per phase at 2^22 — recompute
+                # per prove (one batch-inv program, ~1 s) instead
+                return xpts, l1
             # cached u16 (16-bit Montgomery limbs): 8 n-arrays at 2^22
-            # were 2.1 GB of HBM as u32
+            # would be ~1 GB of HBM even as u16
             self._phase_xl1[key] = (xpts.astype(jnp.uint16),
                                     l1.astype(jnp.uint16))
         x16, l16 = self._phase_xl1[key]
@@ -856,6 +860,12 @@ def prove_device(composer, pk, srs, label=None, dpk: DevicePK = None,
         z_H, closure = grand_product_dev(
             wires_H, dpk.sigma_H, dpk.domain_elems, beta, gamma, log_n)
         _dbg("r2 grand product", z_H)
+        if n >= (1 << 21):
+            # the eval-form wires and raw witness are dead after the
+            # grand product; at 2^22 their ~1.3 GB is the difference
+            # between round 2's intt fitting or not (rule 17a)
+            _sync1(z_H)
+            _free(*wires_H.values(), witness_mont)
         z_coeffs = _intt(z_H, log_n)
         if blinds is not None:
             z_high = tuple(blinds[8:11])
@@ -992,10 +1002,21 @@ def prove_device(composer, pk, srs, label=None, dpk: DevicePK = None,
                                          keep_raw=phase_raw)
                     sel_ph, sigma_ph = static_tables[i]
                 else:
-                    out = phase_ntt_many(dyn + static_polys, i, n_phases,
+                    out = phase_ntt_many(dyn, i, n_phases,
                                          keep_raw=phase_raw)
-                    sel_ph = dict(zip(SELECTOR_NAMES, out[6:6 + n_sel]))
-                    sigma_ph = out[6 + n_sel:]
+                    # streamed statics held u16 for the phase (the
+                    # quotient widens in-program); their u32 forms +
+                    # stacked parents are reclaimed eagerly — at 2^22
+                    # the 15 u32 transforms were 4 GB per phase
+                    raw_s = []
+                    outs = phase_ntt_many(static_polys, i, n_phases,
+                                          keep_raw=raw_s)
+                    stat16 = _narrow_u16(outs)
+                    if mesh is None:
+                        _sync1(stat16[-1])
+                        _free(*outs, *raw_s)
+                    sel_ph = dict(zip(SELECTOR_NAMES, stat16[:n_sel]))
+                    sigma_ph = stat16[n_sel:]
                 wire_ph = dict(zip("abcd", out[:4]))
                 z_ph, pi_ph = out[4], out[5]
             xpts, l1_vec = dpk.phase_xpts_l1(i, n_phases)
