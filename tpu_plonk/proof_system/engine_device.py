@@ -552,8 +552,8 @@ def wire_values_dev(dpk: DevicePK, witness_mont):
 
 
 @functools.partial(jax.jit, static_argnames=("log_n",))
-def grand_product_dev(wires, sigma_H, domain_elems, beta, gamma, log_n):
-    """z evaluations over H from wire evals + sigma evals (Montgomery).
+def _gp_numden(wires, sigma_H, domain_elems, beta, gamma, log_n):
+    """Grand-product numerator/denominator products over H.
     sigma_H / domain_elems arrive u16 (DevicePK resident form)."""
     sigma_H = [s.astype(jnp.uint32) for s in sigma_H]
     domain_elems = domain_elems.astype(jnp.uint32)
@@ -570,10 +570,30 @@ def grand_product_dev(wires, sigma_H, domain_elems, beta, gamma, log_n):
                       jnp.broadcast_to(gamma, (n, 16)))
         num = mm(num, id_term)
         den = mm(den, sig_term)
-    ratios = mm(num, batch_inv(den))
+    return num, den
+
+
+@jax.jit
+def _gp_z(num, den_inv):
+    ratios = mm(num, den_inv)
     prefix = prefix_products(ratios)
     z = jnp.concatenate([const(1, (1,)), prefix[:-1]], axis=0)
     return z, prefix[-1]
+
+
+def grand_product_dev(wires, sigma_H, domain_elems, beta, gamma, log_n):
+    """z evaluations over H from wire evals + sigma evals (Montgomery).
+
+    Split into three device programs (products / batch inversion /
+    ratio-prefix-z): the ONE-program form's internal peak (~12+
+    n-arrays with the Montgomery-trick inversion inlined) was rejected
+    RESOURCE_EXHAUSTED at 2^22 while each piece runs fine (rule 17c;
+    r5_prove22.log sync-debug).  Identical algebra => identical bytes;
+    costs 2 extra dispatches."""
+    num, den = _gp_numden(wires, sigma_H, domain_elems, beta, gamma,
+                          log_n)
+    den_inv = batch_inv(den)
+    return _gp_z(num, den_inv)
 
 
 @jax.jit
