@@ -1025,16 +1025,24 @@ def prove_device(composer, pk, srs, label=None, dpk: DevicePK = None,
                     out = phase_ntt_many(dyn, i, n_phases,
                                          keep_raw=phase_raw)
                     # streamed statics held u16 for the phase (the
-                    # quotient widens in-program); their u32 forms +
-                    # stacked parents are reclaimed eagerly — at 2^22
-                    # the 15 u32 transforms were 4 GB per phase
-                    raw_s = []
-                    outs = phase_ntt_many(static_polys, i, n_phases,
-                                          keep_raw=raw_s)
-                    stat16 = _narrow_u16(outs)
-                    if mesh is None:
-                        _sync1(stat16[-1])
-                        _free(*outs, *raw_s)
+                    # quotient widens in-program); transform -> narrow
+                    # -> free per small chunk so neither all 15 u32
+                    # transforms (~4 GB at 2^22) nor a single 15-array
+                    # narrow program (~6 GB in+out, REJECTED on chip)
+                    # ever coexist
+                    ncap = int(_os.environ.get("TPU_PLONK_NTT_BATCH",
+                                               "4"))
+                    stat16 = []
+                    for slo in range(0, len(static_polys), ncap):
+                        raw_s = []
+                        outs = phase_ntt_many(
+                            static_polys[slo:slo + ncap], i, n_phases,
+                            keep_raw=raw_s)
+                        s16 = _narrow_u16(outs)
+                        if mesh is None:
+                            _sync1(s16[-1])
+                            _free(*outs, *raw_s)
+                        stat16.extend(s16)
                     sel_ph = dict(zip(SELECTOR_NAMES, stat16[:n_sel]))
                     sigma_ph = stat16[n_sel:]
                 wire_ph = dict(zip("abcd", out[:4]))
